@@ -1,0 +1,137 @@
+"""Geometric primitives on batched point clouds.
+
+All functions are pure, jittable, and channels-last (``[B, N, C]``): the
+point-count axis maps onto TPU sublanes and the channel axis onto lanes, so
+pairwise distances and point-wise MLPs lower straight onto the MXU.
+
+Parity: square_distance / index_points follow
+/root/reference/model/pointnet2_utils.py:5-45; normalize_cloud follows
+provider.py:5-21 (per-cloud centroid subtract + unit-sphere scale);
+euler_rotation_matrix follows the X·Y·Z euler convention of
+provider.py:66-92 and data_build/Cube.py:59-72.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def square_distance(src: jax.Array, dst: jax.Array) -> jax.Array:
+    """Pairwise squared L2 distance.
+
+    ``dist[b, n, m] = ||src[b, n] - dst[b, m]||^2`` computed as
+    ``-2 src·dstᵀ + ||src||² + ||dst||²`` so the inner product rides the MXU
+    (reference: pointnet2_utils.py:5-26).
+
+    Args:
+      src: ``[..., N, C]`` source points.
+      dst: ``[..., M, C]`` target points.
+
+    Returns:
+      ``[..., N, M]`` squared distances.
+    """
+    # One fused dot_general; the norm terms are cheap rank-1 updates XLA fuses
+    # into the matmul epilogue. HIGHEST precision: C is tiny (3), so the MXU
+    # cost is negligible, and bf16 passes would corrupt neighbor selection.
+    inner = jnp.matmul(
+        src,
+        jnp.swapaxes(dst, -1, -2),
+        preferred_element_type=src.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    s2 = jnp.sum(src * src, axis=-1, keepdims=True)          # [..., N, 1]
+    d2 = jnp.sum(dst * dst, axis=-1, keepdims=True)          # [..., M, 1]
+    return -2.0 * inner + s2 + jnp.swapaxes(d2, -1, -2)
+
+
+def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Batched gather: ``out[b, ...s, :] = points[b, idx[b, ...s], :]``.
+
+    Equivalent of pointnet2_utils.py:28-45 but expressed as
+    ``take_along_axis`` so XLA emits a single fused gather.
+
+    Args:
+      points: ``[B, N, C]``.
+      idx: ``[B, S]`` or ``[B, S, K]`` integer indices into the N axis.
+
+    Returns:
+      ``[B, S, C]`` or ``[B, S, K, C]``.
+    """
+    B, N, C = points.shape
+    out_shape = idx.shape + (C,)
+    flat_idx = idx.reshape(B, -1)                             # [B, S*K]
+    got = jnp.take_along_axis(points, flat_idx[..., None], axis=1)
+    return got.reshape(out_shape)
+
+
+def normalize_cloud(points: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """Center each cloud at its centroid and scale into the unit sphere.
+
+    Vectorized over the batch (the reference loops per cloud on host numpy,
+    provider.py:5-21). Only the first 3 channels are assumed geometric when
+    C == 3; callers with rgb channels should slice first.
+
+    Args:
+      points: ``[..., N, C]``.
+
+    Returns:
+      ``[..., N, C]`` normalized clouds.
+    """
+    centroid = jnp.mean(points, axis=-2, keepdims=True)
+    centered = points - centroid
+    scale = jnp.max(
+        jnp.sqrt(jnp.sum(centered * centered, axis=-1, keepdims=True)),
+        axis=-2,
+        keepdims=True,
+    )
+    return centered / (scale + eps)
+
+
+def euler_rotation_matrix(angles_rad: jax.Array) -> jax.Array:
+    """X·Y·Z Euler rotation matrix ``R = Rx @ Ry @ Rz``.
+
+    Matches provider.py:66-92 / data_build/Cube.py:59-72 (degrees converted by
+    the caller; this takes radians). Batched over leading dims.
+
+    Args:
+      angles_rad: ``[..., 3]`` (phi/x, theta/y, psi/z) in radians.
+
+    Returns:
+      ``[..., 3, 3]`` rotation matrices.
+    """
+    a, b, c = angles_rad[..., 0], angles_rad[..., 1], angles_rad[..., 2]
+    ca, sa = jnp.cos(a), jnp.sin(a)
+    cb, sb = jnp.cos(b), jnp.sin(b)
+    cc, sc = jnp.cos(c), jnp.sin(c)
+    z = jnp.zeros_like(a)
+    o = jnp.ones_like(a)
+    rx = jnp.stack(
+        [jnp.stack([o, z, z], -1), jnp.stack([z, ca, -sa], -1), jnp.stack([z, sa, ca], -1)],
+        axis=-2,
+    )
+    ry = jnp.stack(
+        [jnp.stack([cb, z, sb], -1), jnp.stack([z, o, z], -1), jnp.stack([-sb, z, cb], -1)],
+        axis=-2,
+    )
+    rz = jnp.stack(
+        [jnp.stack([cc, -sc, z], -1), jnp.stack([sc, cc, z], -1), jnp.stack([z, z, o], -1)],
+        axis=-2,
+    )
+    return rx @ ry @ rz
+
+
+def rotate_euler(points: jax.Array, angles_rad: jax.Array) -> jax.Array:
+    """Rotate clouds by per-cloud X·Y·Z Euler angles.
+
+    ``points @ R.T`` as in provider.py:89-92 / Cube.py:72.
+
+    Args:
+      points: ``[..., N, 3]``.
+      angles_rad: ``[..., 3]`` broadcastable to the leading dims of points.
+
+    Returns:
+      rotated ``[..., N, 3]``.
+    """
+    R = euler_rotation_matrix(angles_rad)
+    return jnp.einsum("...nc,...dc->...nd", points, R)

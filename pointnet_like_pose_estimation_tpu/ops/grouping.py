@@ -1,0 +1,120 @@
+"""Ball-query neighborhood grouping.
+
+The reference (pointnet2_utils.py:70-90) builds the full ``[B, S, N]``
+distance matrix, overwrites out-of-ball entries with a sentinel N, **sorts**
+each row and takes the first K — i.e. the K *lowest-index* in-ball points,
+padding empty slots with the first in-ball index. We reproduce exactly that
+selection without a full sort: ``top_k`` over negated masked indices, which
+XLA lowers to a fused partial reduction. The distance matrix itself is the
+memory hot spot; the fused Pallas kernel in
+``pointnet_like_pose_estimation_tpu.kernels`` tiles it through VMEM instead
+of materializing it in HBM.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pointnet_like_pose_estimation_tpu.ops.geometry import (
+    index_points,
+    square_distance,
+)
+from pointnet_like_pose_estimation_tpu.ops.sampling import farthest_point_sample
+
+
+def query_ball_point(
+    radius: float,
+    num_neighbors: int,
+    points: jax.Array,
+    centroids: jax.Array,
+) -> jax.Array:
+    """Indices of up to K in-ball points per centroid (lowest-index-first).
+
+    Exact semantics of pointnet2_utils.py:70-90 including the
+    pad-with-first-in-ball rule for balls with fewer than K members. The
+    query point itself is always within its own ball, so the first slot is
+    always valid whenever centroids come from the cloud.
+
+    Args:
+      radius: ball radius.
+      num_neighbors: K, neighbors per ball (static).
+      points: ``[B, N, C]`` all points.
+      centroids: ``[B, S, C]`` query points.
+
+    Returns:
+      ``[B, S, K]`` int32 indices into the N axis.
+    """
+    B, N, _ = points.shape
+    sqrdists = square_distance(centroids, points)             # [B, S, N]
+    in_ball = sqrdists <= radius * radius
+    point_ids = jax.lax.broadcasted_iota(jnp.int32, sqrdists.shape, 2)
+    # Out-of-ball -> sentinel N; K smallest keys == reference's sort()[:K].
+    keys = jnp.where(in_ball, point_ids, N)
+    neg_topk, _ = jax.lax.top_k(-keys, num_neighbors)         # [B, S, K]
+    idx = -neg_topk
+    first = idx[..., :1]
+    return jnp.where(idx == N, first, idx)
+
+
+def sample_and_group(
+    points: jax.Array,
+    features: jax.Array | None,
+    num_centroids: int,
+    num_neighbors: int,
+    radius: float,
+    *,
+    fps_idx: jax.Array | None = None,
+    return_fps: bool = False,
+):
+    """FPS centroids -> ball query -> gather -> center on centroid.
+
+    Parity: pointnet2_utils.py:92-120 (channels-last here). When features are
+    given, the grouped features are concatenated after the centered
+    coordinates, matching the reference's ``cat([grouped_norm, feat], -1)``.
+
+    Args:
+      points: ``[B, N, 3]`` geometry.
+      features: optional ``[B, N, D]`` per-point features.
+      num_centroids: S.
+      num_neighbors: K.
+      radius: ball radius.
+      fps_idx: optional precomputed ``[B, S]`` centroid indices (lets MSG
+        layers share one FPS across scales).
+      return_fps: also return the fps indices.
+
+    Returns:
+      ``(centroids [B,S,3], grouped [B,S,K,3(+D)])`` and optionally fps_idx.
+    """
+    if fps_idx is None:
+        fps_idx = farthest_point_sample(points, num_centroids)
+    centroids = index_points(points, fps_idx)                 # [B, S, 3]
+    idx = query_ball_point(radius, num_neighbors, points, centroids)
+    grouped = index_points(points, idx)                       # [B, S, K, 3]
+    grouped = grouped - centroids[:, :, None, :]
+    if features is not None:
+        grouped_feat = index_points(features, idx)            # [B, S, K, D]
+        grouped = jnp.concatenate([grouped, grouped_feat], axis=-1)
+    if return_fps:
+        return centroids, grouped, fps_idx
+    return centroids, grouped
+
+
+def sample_and_group_all(points: jax.Array, features: jax.Array | None):
+    """Single group covering the whole cloud; centroid at the origin.
+
+    Parity: pointnet2_utils.py:122-141.
+
+    Args:
+      points: ``[B, N, 3]``.
+      features: optional ``[B, N, D]``.
+
+    Returns:
+      ``(centroids [B,1,3] zeros, grouped [B,1,N,3(+D)])``.
+    """
+    B, N, C = points.shape
+    centroids = jnp.zeros((B, 1, C), dtype=points.dtype)
+    grouped = points[:, None, :, :]                           # [B, 1, N, 3]
+    if features is not None:
+        grouped = jnp.concatenate([grouped, features[:, None, :, :]], axis=-1)
+    return centroids, grouped

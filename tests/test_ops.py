@@ -1,0 +1,121 @@
+"""Golden tests: jnp ops vs the numpy oracle (reference semantics)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import oracle
+from pointnet_like_pose_estimation_tpu import ops
+
+
+@pytest.fixture(scope="module")
+def clouds():
+    rng = np.random.default_rng(0)
+    return rng.standard_normal((4, 128, 3)).astype(np.float32)
+
+
+def test_square_distance(clouds):
+    dst = clouds[:, :64, :] + 0.25
+    got = np.asarray(ops.square_distance(jnp.asarray(clouds), jnp.asarray(dst)))
+    want = oracle.square_distance(clouds, dst)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_index_points_2d(clouds):
+    rng = np.random.default_rng(1)
+    idx = rng.integers(0, 128, size=(4, 17))
+    got = np.asarray(ops.index_points(jnp.asarray(clouds), jnp.asarray(idx)))
+    want = np.stack([clouds[b][idx[b]] for b in range(4)])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_index_points_3d(clouds):
+    rng = np.random.default_rng(2)
+    idx = rng.integers(0, 128, size=(4, 17, 9))
+    got = np.asarray(ops.index_points(jnp.asarray(clouds), jnp.asarray(idx)))
+    want = np.stack([clouds[b][idx[b]] for b in range(4)])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fps_matches_oracle(clouds):
+    start = np.array([0, 5, 17, 100])
+    got = np.asarray(
+        ops.farthest_point_sample(jnp.asarray(clouds), 32, start_idx=jnp.asarray(start))
+    )
+    want = oracle.farthest_point_sample(clouds.astype(np.float64), 32, start)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fps_indices_distinct(clouds):
+    idx = np.asarray(ops.farthest_point_sample(jnp.asarray(clouds), 64))
+    for b in range(idx.shape[0]):
+        assert len(set(idx[b].tolist())) == 64
+
+
+def test_fps_random_start_in_range(clouds):
+    idx = np.asarray(
+        ops.farthest_point_sample(jnp.asarray(clouds), 8, key=jax.random.key(3))
+    )
+    assert idx.min() >= 0 and idx.max() < 128
+
+
+def test_query_ball_point(clouds):
+    centroids = clouds[:, ::8, :]  # 16 centroids
+    for radius in (0.3, 0.8, 2.0):
+        got = np.asarray(
+            ops.query_ball_point(radius, 12, jnp.asarray(clouds), jnp.asarray(centroids))
+        )
+        want = oracle.query_ball_point(radius, 12, clouds, centroids)
+        np.testing.assert_array_equal(got, want, err_msg=f"radius={radius}")
+
+
+def test_sample_and_group_shapes(clouds):
+    feats = jnp.ones((4, 128, 5))
+    c, g = ops.sample_and_group(jnp.asarray(clouds), feats, 16, 8, 0.5)
+    assert c.shape == (4, 16, 3)
+    assert g.shape == (4, 16, 8, 8)
+    # centered coords: every selected (or pad-duplicated) point is in-ball
+    dists = np.sqrt((np.asarray(g)[..., :3] ** 2).sum(-1))
+    assert dists.max() <= 0.5 + 1e-5
+
+
+def test_sample_and_group_all(clouds):
+    feats = jnp.ones((4, 128, 5))
+    c, g = ops.sample_and_group_all(jnp.asarray(clouds), feats)
+    assert c.shape == (4, 1, 3) and np.all(np.asarray(c) == 0)
+    assert g.shape == (4, 1, 128, 8)
+    np.testing.assert_allclose(np.asarray(g)[..., :3], clouds[:, None])
+
+
+def test_normalize_cloud(clouds):
+    got = np.asarray(ops.normalize_cloud(jnp.asarray(clouds)))
+    want = oracle.normalization(clouds)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    r = np.sqrt((got**2).sum(-1)).max(-1)
+    np.testing.assert_allclose(r, 1.0, rtol=1e-4)
+
+
+def test_euler_rotation(clouds):
+    ang = np.array([0.3, -0.7, 1.2])
+    got = np.asarray(ops.rotate_euler(jnp.asarray(clouds), jnp.asarray(ang)))
+    R = oracle.euler_rotation_matrix(ang)
+    want = clouds @ R.T
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_rotate_euler_batched(clouds):
+    angs = np.random.default_rng(4).uniform(-1, 1, size=(4, 3))
+    got = np.asarray(ops.rotate_euler(jnp.asarray(clouds), jnp.asarray(angs)))
+    for b in range(4):
+        want = clouds[b] @ oracle.euler_rotation_matrix(angs[b]).T
+        np.testing.assert_allclose(got[b], want, rtol=1e-4, atol=1e-5)
+
+
+def test_ops_jit_under_vmap(clouds):
+    # everything must compose with jit; smoke the whole grouping path jitted
+    fn = jax.jit(
+        lambda p: ops.sample_and_group(p, None, 16, 8, 0.4)[1]
+    )
+    out = fn(jnp.asarray(clouds))
+    assert out.shape == (4, 16, 8, 3)
