@@ -1,0 +1,136 @@
+"""Model registry — the typed replacement for the reference's
+``importlib.import_module(args.model)`` + duck-typed ``get_model``/``get_loss``
+contract (train_classification.py:32-35).
+
+Every reference model name resolves here to a ``ModelSpec``:
+constructor, input kind (which tensors the apply fn takes), loss, and the
+dataset target slot it trains against (the loader 5-tuple
+``(points, label, rot, tran, sign)``, ModelDataLoader.py:91).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import flax.linen as nn
+
+from pointnet_like_pose_estimation_tpu.models import losses
+from pointnet_like_pose_estimation_tpu.models.classifiers import (
+    PointNet2ClsMSG,
+    PointNet2ClsSSG,
+    PointNetCls,
+)
+from pointnet_like_pose_estimation_tpu.models.heads import (
+    GenericPoseHead,
+    MeanMLP,
+    MSGHead,
+    SSGHead,
+    VanillaHead,
+)
+
+__all__ = [
+    "ModelSpec",
+    "MODEL_REGISTRY",
+    "get_model_spec",
+    "PointNetCls",
+    "PointNet2ClsSSG",
+    "PointNet2ClsMSG",
+    "VanillaHead",
+    "SSGHead",
+    "MSGHead",
+    "GenericPoseHead",
+    "MeanMLP",
+    "losses",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    """Everything the train/eval drivers need to run one model.
+
+    Attributes:
+      name: registry key (matches the reference script name).
+      make: Module factory; kwargs like num_classes/dtype forwarded.
+      task: 'classify' | 'rotation' | 'sign' | 'translation' | 'width'.
+      input_kind: 'xyz' (raw cloud), 'spliced' (one-hot channels appended),
+        or 'spliced_mean' (spliced cloud + centroid vector).
+      target: index into the loader tuple (points, label, rot, tran, sign).
+      loss: callable(outputs, target, **cfg) -> scalar.
+      metric: callable(outputs, target) -> scalar (task headline metric).
+    """
+
+    name: str
+    make: Callable[..., nn.Module]
+    task: str
+    input_kind: str
+    target: int
+    loss: Callable[..., Any]
+    metric: Callable[..., Any]
+
+
+def _cls_loss(outputs, target, **kw):
+    log_probs, aux, _ = outputs
+    trans = aux if aux is not None and aux.ndim == 3 else None
+    return losses.classification_loss(log_probs, target, trans, **kw)
+
+
+def _cls_metric(outputs, target):
+    return losses.accuracy(outputs[0], target)
+
+
+def _reg_loss(outputs, target, **kw):
+    return losses.regression_loss(outputs, target, **kw)
+
+
+def _reg_metric(outputs, target):
+    return losses.mean_abs_error(outputs, target)
+
+
+def _tran_metric(outputs, target):
+    return losses.mean_abs_error(outputs, target, scale=100.0)  # cm
+
+
+def _sign_loss(outputs, target, **kw):
+    prob, _ = outputs
+    return losses.sign_loss(prob, target, **kw)
+
+
+def _sign_metric(outputs, target):
+    return losses.sign_accuracy(outputs[1], target)
+
+
+_R = {}
+
+
+def _reg(spec: ModelSpec):
+    _R[spec.name] = spec
+    return spec
+
+
+_reg(ModelSpec("pointnet_cls", PointNetCls, "classify", "xyz", 1, _cls_loss, _cls_metric))
+_reg(ModelSpec("pointnet2_cls_ssg", PointNet2ClsSSG, "classify", "xyz", 1, _cls_loss, _cls_metric))
+_reg(ModelSpec("pointnet2_cls_msg", PointNet2ClsMSG, "classify", "xyz", 1, _cls_loss, _cls_metric))
+
+_reg(ModelSpec("rotation", lambda **kw: VanillaHead(out_dim=3, **kw), "rotation", "spliced", 2, _reg_loss, _reg_metric))
+_reg(ModelSpec("rotation_ssg", lambda **kw: SSGHead(out_dim=3, levels=3, **kw), "rotation", "spliced", 2, _reg_loss, _reg_metric))
+_reg(ModelSpec("rotation_msg", lambda **kw: MSGHead(out_dim=3, levels=3, **kw), "rotation", "spliced", 2, _reg_loss, _reg_metric))
+
+_reg(ModelSpec("sign", lambda **kw: VanillaHead(out_dim=1, sigmoid_sign=True, **kw), "sign", "spliced", 4, _sign_loss, _sign_metric))
+_reg(ModelSpec("sign_ssg", lambda **kw: SSGHead(out_dim=1, levels=2, sigmoid_sign=True, **kw), "sign", "spliced", 4, _sign_loss, _sign_metric))
+_reg(ModelSpec("sign_msg", lambda **kw: MSGHead(out_dim=1, levels=2, sigmoid_sign=True, **kw), "sign", "spliced", 4, _sign_loss, _sign_metric))
+
+_reg(ModelSpec("translation", lambda **kw: VanillaHead(out_dim=3, mean_residual=True, **kw), "translation", "spliced_mean", 3, _reg_loss, _tran_metric))
+_reg(ModelSpec("translation_ssg", lambda **kw: SSGHead(out_dim=3, levels=2, mean_residual=True, **kw), "translation", "spliced_mean", 3, _reg_loss, _tran_metric))
+_reg(ModelSpec("translation_msg", lambda **kw: MSGHead(out_dim=3, levels=2, mean_residual=True, **kw), "translation", "spliced_mean", 3, _reg_loss, _tran_metric))
+
+_reg(ModelSpec("width", lambda **kw: VanillaHead(out_dim=1, **kw), "width", "spliced", 3, _reg_loss, _reg_metric))
+_reg(ModelSpec("pose", GenericPoseHead, "rotation", "spliced", 2, _reg_loss, _reg_metric))
+
+MODEL_REGISTRY = dict(_R)
+
+
+def get_model_spec(name: str) -> ModelSpec:
+    if name not in MODEL_REGISTRY:
+        raise KeyError(f"unknown model {name!r}; available: {sorted(MODEL_REGISTRY)}")
+    return MODEL_REGISTRY[name]

@@ -1,0 +1,25 @@
+"""Neural building blocks (flax.linen, channels-last, bf16-ready)."""
+
+from pointnet_like_pose_estimation_tpu.nn.layers import (
+    DenseHead,
+    PointwiseMLP,
+)
+from pointnet_like_pose_estimation_tpu.nn.tnet import (
+    PointNetEncoder,
+    TNet,
+    orthogonality_regularizer,
+)
+from pointnet_like_pose_estimation_tpu.nn.set_abstraction import (
+    SetAbstraction,
+    SetAbstractionMSG,
+)
+
+__all__ = [
+    "DenseHead",
+    "PointwiseMLP",
+    "PointNetEncoder",
+    "TNet",
+    "orthogonality_regularizer",
+    "SetAbstraction",
+    "SetAbstractionMSG",
+]

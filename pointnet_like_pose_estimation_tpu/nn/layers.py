@@ -1,0 +1,107 @@
+"""Shared layers.
+
+The reference's ubiquitous ``Conv1d/Conv2d(k=1) + BatchNorm + ReLU`` stacks
+(e.g. model/rotation.py:14-18, model/pointnet2_utils.py:154-170) are
+point-wise linear maps over the channel axis. Channels-last, they are plain
+``Dense`` layers — XLA contracts the channel axis on the MXU with the point
+and group axes batched, which is exactly the layout a TPU wants. No explicit
+convolution machinery is needed anywhere in this framework.
+
+``dtype``/``param_dtype`` follow the flax convention: params stay float32,
+compute can run bfloat16.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+class PointwiseMLP(nn.Module):
+    """Stack of Dense -> BatchNorm -> ReLU over the trailing channel axis.
+
+    Equivalent of the reference's shared-MLP conv stacks
+    (pointnet2_utils.py:154-156, rotation.py:14-18) for inputs shaped
+    ``[B, ..., C]``. BatchNorm statistics reduce over every non-channel axis,
+    matching ``BatchNorm1d/2d`` on ``[B, C, N]`` / ``[B, C, K, S]``.
+
+    Attributes:
+      features: output width per layer.
+      final_activation: apply BN+ReLU after the last layer too (the reference
+        applies it on all shared-MLP layers; PointNetEncoder's conv3 uses BN
+        but no ReLU, so it passes ``final_activation=False`` and adds BN
+        itself).
+      dtype: compute dtype (e.g. jnp.bfloat16).
+    """
+
+    features: Sequence[int]
+    final_activation: bool = True
+    dtype: Dtype | None = None
+    bn_momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        n = len(self.features)
+        for i, width in enumerate(self.features):
+            x = nn.Dense(width, dtype=self.dtype, name=f"dense_{i}")(x)
+            if i < n - 1 or self.final_activation:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=self.bn_momentum,
+                    dtype=self.dtype,
+                    name=f"bn_{i}",
+                )(x)
+                x = nn.relu(x)
+        return x
+
+
+class DenseHead(nn.Module):
+    """Fully-connected head with the reference's three BN/dropout orderings.
+
+    ``style`` selects the exact op order the corresponding reference model
+    uses on its hidden layers (the final layer is always a plain Dense):
+
+    - ``"cls_v1"``: relu(bn(fc)) then relu(bn(dropout(fc))) — pointnet_cls.py:25-28
+      (dropout only on the second hidden layer, before its BN).
+    - ``"cls_v2"``: dropout(relu(bn(fc))) per hidden layer — pointnet2_cls_ssg.py:31-34.
+    - ``"pose"``: relu(dropout(bn(fc))) per hidden layer — rotation.py:45-49.
+
+    Attributes:
+      features: widths including the final output width.
+      style: one of cls_v1/cls_v2/pose.
+      dropout_rate: reference default 0.4.
+    """
+
+    features: Sequence[int]
+    style: str = "pose"
+    dropout_rate: float = 0.4
+    dtype: Dtype | None = None
+    bn_momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        assert self.style in ("cls_v1", "cls_v2", "pose"), self.style
+        n = len(self.features)
+        for i, width in enumerate(self.features):
+            x = nn.Dense(width, dtype=self.dtype, name=f"fc_{i}")(x)
+            if i == n - 1:
+                break
+            bn = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=self.bn_momentum,
+                dtype=self.dtype,
+                name=f"bn_{i}",
+            )
+            drop = nn.Dropout(self.dropout_rate, deterministic=not train)
+            if self.style == "cls_v1":
+                # second hidden layer of pointnet_cls drops before BN
+                x = nn.relu(bn(drop(x) if i == 1 else x))
+            elif self.style == "cls_v2":
+                x = drop(nn.relu(bn(x)))
+            else:  # pose
+                x = nn.relu(drop(bn(x)))
+        return x

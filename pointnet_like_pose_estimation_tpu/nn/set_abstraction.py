@@ -1,0 +1,100 @@
+"""PointNet++ set-abstraction layers (SSG and MSG).
+
+Parity: model/pointnet2_utils.py — PointNetSetAbstraction (:143-174) and
+PointNetSetAbstractionMsg (:176-223), channels-last. The grouped tensor is
+``[B, S, K, C]``: the shared MLP contracts C on the MXU with (B, S, K)
+batched, and the group max reduces K on the VPU. MSG runs one FPS and shares
+the centroids across all radius scales (reference :201), concatenating the
+per-scale features on the channel axis.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pointnet_like_pose_estimation_tpu.nn.layers import PointwiseMLP
+from pointnet_like_pose_estimation_tpu.ops import (
+    farthest_point_sample,
+    index_points,
+    query_ball_point,
+    sample_and_group,
+    sample_and_group_all,
+)
+
+Dtype = Any
+
+
+class SetAbstraction(nn.Module):
+    """Single-scale grouping: FPS -> ball query -> shared MLP -> max.
+
+    Attributes:
+      num_centroids: S (ignored when group_all).
+      num_neighbors: K per ball (ignored when group_all).
+      radius: ball radius (ignored when group_all).
+      mlp: shared-MLP widths.
+      group_all: final global layer (sample_and_group_all).
+    """
+
+    num_centroids: int | None
+    num_neighbors: int | None
+    radius: float | None
+    mlp: Sequence[int]
+    group_all: bool = False
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, points, features, *, train: bool):
+        """points: [B, N, 3]; features: [B, N, D] or None.
+
+        Returns (centroids [B, S, 3], features [B, S, mlp[-1]]).
+        """
+        if self.group_all:
+            centroids, grouped = sample_and_group_all(points, features)
+        else:
+            centroids, grouped = sample_and_group(
+                points, features, self.num_centroids, self.num_neighbors, self.radius
+            )
+        h = PointwiseMLP(self.mlp, dtype=self.dtype, name="mlp")(grouped, train=train)
+        return centroids, jnp.max(h, axis=-2)                 # reduce K
+
+
+class SetAbstractionMSG(nn.Module):
+    """Multi-scale grouping: one FPS, per-radius ball query + MLP, concat.
+
+    ``extra_channels`` mirrors the reference's ``in_channel + 3 +
+    num_category`` bookkeeping (pointnet2_utils.py:187): pose backbones feed
+    one-hot-spliced features, and the widths here only matter for
+    initialization (channels are inferred from inputs in flax).
+    """
+
+    num_centroids: int
+    num_neighbors_list: Sequence[int]
+    radius_list: Sequence[float]
+    mlp_list: Sequence[Sequence[int]]
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, points, features, *, train: bool):
+        """points: [B, N, 3]; features: [B, N, D] or None.
+
+        Returns (centroids [B, S, 3], features [B, S, sum(mlp[-1])]).
+        """
+        fps_idx = farthest_point_sample(points, self.num_centroids)
+        centroids = index_points(points, fps_idx)
+        outs = []
+        for i, radius in enumerate(self.radius_list):
+            idx = query_ball_point(radius, self.num_neighbors_list[i], points, centroids)
+            grouped = index_points(points, idx) - centroids[:, :, None, :]
+            if features is not None:
+                gfeat = index_points(features, idx)
+                # reference order: [features, centered_coords] (pointnet2_utils.py:211)
+                grouped = jnp.concatenate([gfeat, grouped], axis=-1)
+            h = PointwiseMLP(self.mlp_list[i], dtype=self.dtype, name=f"mlp_{i}")(
+                grouped, train=train
+            )
+            outs.append(jnp.max(h, axis=-2))
+        return centroids, jnp.concatenate(outs, axis=-1)
