@@ -1,0 +1,187 @@
+"""Training loop, evaluation, and checkpoint/resume.
+
+Parity: train_classification.main (SURVEY §3.1) / train_{rotation,
+translation,sign}.main (§3.2), test_* evaluation conventions (§3.4):
+instance + mean-per-class accuracy for classification
+(train_classification.py:144-155), per-axis and per-class absolute errors
+for regression (test_rotation.py:84-97), cm scaling for translation
+(test_translation.py:101), hard-sign accuracy (train_sign.py:124-127).
+
+Checkpoints hold the FULL train state (params, batch stats, optimizer
+moments, step, RNG) — the reference saves model+optimizer dicts but silently
+drops optimizer state on resume (train_classification.py:41-48). Both
+``best`` and ``latest`` are kept, and resume is automatic when a latest
+checkpoint exists.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+
+import flax.serialization
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointnet_like_pose_estimation_tpu.data.dataset import PoseDataset, iter_batches
+from pointnet_like_pose_estimation_tpu.models import get_model_spec
+from pointnet_like_pose_estimation_tpu.train.config import TrainConfig
+from pointnet_like_pose_estimation_tpu.train.state import create_train_state
+from pointnet_like_pose_estimation_tpu.train.steps import make_eval_step, make_train_step
+
+log = logging.getLogger("plpe.train")
+
+_HIGHER_IS_BETTER = {"classify": True, "sign": True, "rotation": False,
+                     "translation": False, "width": False}
+
+
+def _ckpt_dir(cfg: TrainConfig) -> str:
+    task = "classification" if "cls" in cfg.model else "pose"
+    return os.path.join(cfg.log_dir, task, cfg.experiment, "checkpoints")
+
+
+def save_checkpoint(path: str, state, epoch: int, metric: float):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(state))
+    with open(path + ".json", "w") as f:
+        json.dump({"epoch": epoch, "metric": float(metric)}, f)
+
+
+def load_checkpoint(path: str, state):
+    """Restore a full train state from bytes; returns (state, meta)."""
+    with open(path, "rb") as f:
+        state = flax.serialization.from_bytes(state, f.read())
+    with open(path + ".json") as f:
+        meta = json.load(f)
+    return state, meta
+
+
+def _example_batch(cfg: TrainConfig, spec, n=2):
+    batch = {
+        "points": jnp.zeros((n, cfg.num_points, 3), jnp.float32),
+        "labels": jnp.zeros((n,), jnp.int32),
+        "rot": jnp.zeros((n, 3), jnp.float32),
+        "tran": jnp.zeros((n, 3), jnp.float32),
+        "sign": jnp.ones((n,), jnp.float32),
+        "width": jnp.zeros((n, 1), jnp.float32),
+    }
+    return batch
+
+
+def build_state(cfg: TrainConfig, steps_per_epoch: int = 100):
+    """Construct (spec, model, fresh state) for a config."""
+    spec = get_model_spec(cfg.model)
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
+    kwargs = {"dtype": dtype}
+    if spec.task == "classify":
+        kwargs["num_classes"] = cfg.num_classes
+    model = spec.make(**kwargs)
+    if spec.input_kind == "xyz":
+        example = (jnp.zeros((2, cfg.num_points, 3)),)
+    elif spec.input_kind == "spliced":
+        example = (jnp.zeros((2, cfg.num_points, 3 + cfg.num_classes)),)
+    else:
+        example = (jnp.zeros((2, cfg.num_points, 3 + cfg.num_classes)), jnp.zeros((2, 3)))
+    state = create_train_state(cfg, model, example, steps_per_epoch)
+    return spec, model, state
+
+
+def evaluate(cfg: TrainConfig, state, ds: PoseDataset, eval_step=None) -> dict:
+    """Full-split evaluation with the reference's metric conventions."""
+    spec = get_model_spec(cfg.model)
+    if eval_step is None:
+        eval_step = make_eval_step(spec, cfg)
+    totals, n_batches = {}, 0
+    per_class_correct = np.zeros(cfg.num_classes)
+    per_class_count = np.zeros(cfg.num_classes)
+    per_class_err = np.zeros((cfg.num_classes, 3))
+    for batch in iter_batches(ds, cfg.batch_size, drop_last=False):
+        out = jax.device_get(eval_step(state, {k: jnp.asarray(v) for k, v in batch.items()}))
+        totals["loss"] = totals.get("loss", 0.0) + float(out["loss"])
+        totals["metric"] = totals.get("metric", 0.0) + float(out["metric"])
+        n_batches += 1
+        labels = batch["labels"]
+        if spec.task == "classify":
+            for c in range(cfg.num_classes):
+                m = labels == c
+                per_class_correct[c] += (out["pred"][m] == c).sum()
+                per_class_count[c] += m.sum()
+        elif spec.task in ("rotation", "translation"):
+            target = batch["rot"] if spec.task == "rotation" else batch["tran"]
+            err = np.abs(out["pred"] - target)
+            for c in range(cfg.num_classes):
+                m = labels == c
+                per_class_err[c] += err[m].sum(axis=0)
+                per_class_count[c] += m.sum()
+    result = {k: v / max(n_batches, 1) for k, v in totals.items()}
+    seen = per_class_count > 0
+    if spec.task == "classify":
+        acc = per_class_correct[seen] / per_class_count[seen]
+        result["instance_acc"] = float(per_class_correct.sum() / per_class_count.sum())
+        result["class_acc"] = float(acc.mean())
+    elif spec.task in ("rotation", "translation"):
+        scale = 100.0 if spec.task == "translation" else 1.0
+        axis_err = per_class_err.sum(0) / max(per_class_count.sum(), 1) * scale
+        result["axis_err"] = axis_err.tolist()
+        result["mean_err"] = float(axis_err.mean())
+    return result
+
+
+def train(
+    cfg: TrainConfig,
+    train_ds: PoseDataset,
+    test_ds: PoseDataset | None = None,
+    *,
+    resume: bool = True,
+) -> tuple:
+    """Run the full training recipe; returns (state, history)."""
+    spec = get_model_spec(cfg.model)
+    steps_per_epoch = max(len(train_ds) // cfg.batch_size, 1)
+    spec, model, state = build_state(cfg, steps_per_epoch)
+    train_step = make_train_step(spec, cfg)
+    eval_step = make_eval_step(spec, cfg)
+
+    ckpt = _ckpt_dir(cfg)
+    start_epoch, best_metric = 0, None
+    latest = os.path.join(ckpt, "latest.msgpack")
+    if resume and os.path.exists(latest):
+        state, meta = load_checkpoint(latest, state)
+        start_epoch = meta["epoch"] + 1
+        best_path = os.path.join(ckpt, "best.msgpack.json")
+        if os.path.exists(best_path):
+            best_metric = json.load(open(best_path))["metric"]
+        log.info("resumed from epoch %d", start_epoch)
+
+    higher = _HIGHER_IS_BETTER[spec.task]
+    history = []
+    rng = np.random.default_rng(cfg.seed)
+    for epoch in range(start_epoch, cfg.epochs):
+        t0 = time.time()
+        train_loss, train_metric, n = 0.0, 0.0, 0
+        for batch in iter_batches(train_ds, cfg.batch_size, rng=rng):
+            state, metrics = train_step(state, {k: jnp.asarray(v) for k, v in batch.items()})
+            train_loss += float(metrics["loss"])
+            train_metric += float(metrics["metric"])
+            n += 1
+        row = {
+            "epoch": epoch,
+            "train_loss": train_loss / max(n, 1),
+            "train_metric": train_metric / max(n, 1),
+            "seconds": time.time() - t0,
+        }
+        if test_ds is not None and len(test_ds):
+            row.update({f"test_{k}": v for k, v in evaluate(cfg, state, test_ds, eval_step).items()})
+            key = "test_instance_acc" if spec.task == "classify" else (
+                "test_metric" if spec.task == "sign" else "test_mean_err")
+            cur = row.get(key, row.get("test_metric"))
+            if best_metric is None or (cur > best_metric if higher else cur < best_metric):
+                best_metric = cur
+                save_checkpoint(os.path.join(ckpt, "best.msgpack"), state, epoch, cur)
+        save_checkpoint(latest, state, epoch, row.get("train_loss", 0.0))
+        history.append(row)
+        log.info("%s", row)
+    return state, history

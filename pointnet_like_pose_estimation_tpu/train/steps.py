@@ -1,0 +1,125 @@
+"""Jitted train/eval step builders.
+
+Everything the reference does on host per batch — numpy augmentation
+(train_classification.py:105-113), one-hot splicing (train_translation.py:118),
+centroid capture (:113) — is fused here into one jitted step, so a training
+step is a single XLA program: augment -> forward -> loss -> backward ->
+optimizer update, with the state donated in place.
+
+Call stack parity: §3.1-3.2 of SURVEY.md (train_classification.main's hot
+loop; train_{rotation,translation,sign}.py variants).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from pointnet_like_pose_estimation_tpu.data import augment as aug
+from pointnet_like_pose_estimation_tpu.models import ModelSpec, losses
+from pointnet_like_pose_estimation_tpu.train.config import TrainConfig
+from pointnet_like_pose_estimation_tpu.train.state import PoseTrainState
+
+
+def _prepare_inputs(spec: ModelSpec, cfg: TrainConfig, key, batch, train: bool):
+    """Augment/normalize/splice a raw batch into model inputs + target."""
+    points = batch["points"]
+    if train and cfg.augment:
+        k1, k2, k3 = jax.random.split(key, 3)
+        points = aug.random_point_dropout(k1, points)
+        points = aug.random_scale(k2, points)
+        points = aug.random_shift(k3, points)
+    # translation captures the centroid BEFORE normalization
+    # (train_translation.py:113-115)
+    mean = aug.cloud_mean(points, compat_first3=cfg.compat_first3_mean)
+    points = aug.eval_preprocess(points)
+
+    if spec.input_kind == "xyz":
+        inputs = (points,)
+    else:
+        spliced = aug.splice_onehot(points, batch["labels"], cfg.num_classes)
+        inputs = (spliced, mean) if spec.input_kind == "spliced_mean" else (spliced,)
+
+    if spec.task == "classify":
+        target = batch["labels"]
+    elif spec.task == "rotation":
+        target = batch["rot"]
+    elif spec.task == "translation":
+        target = batch["tran"]
+    elif spec.task == "sign":
+        target = batch["sign"]
+    else:  # width: external target channel
+        target = batch["width"]
+    return inputs, target
+
+
+def _loss_kwargs(spec: ModelSpec, cfg: TrainConfig) -> dict:
+    if spec.task in ("rotation", "translation", "width"):
+        return {"kind": cfg.loss_kind, "reduction": cfg.loss_reduction}
+    if spec.task == "sign":
+        return {"compat_pm1": cfg.compat_pm1_bce}
+    return {}
+
+
+def make_train_step(spec: ModelSpec, cfg: TrainConfig) -> Callable:
+    """Build the donated, jitted training step for one model spec."""
+    loss_kw = _loss_kwargs(spec, cfg)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def train_step(state: PoseTrainState, batch: dict):
+        rng, aug_key, drop_key = jax.random.split(state.rng, 3)
+        inputs, target = _prepare_inputs(spec, cfg, aug_key, batch, train=True)
+
+        def loss_fn(params):
+            outputs, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                *inputs,
+                train=True,
+                rngs={"dropout": drop_key},
+                mutable=["batch_stats"],
+            )
+            return spec.loss(outputs, target, **loss_kw), (outputs, updates)
+
+        (loss, (outputs, updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(
+            grads=grads, batch_stats=updates["batch_stats"], rng=rng
+        )
+        metrics = {"loss": loss, "metric": spec.metric(outputs, target)}
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(spec: ModelSpec, cfg: TrainConfig) -> Callable:
+    """Build the jitted eval step; returns per-batch metrics + predictions."""
+    loss_kw = _loss_kwargs(spec, cfg)
+
+    @jax.jit
+    def eval_step(state: PoseTrainState, batch: dict):
+        inputs, target = _prepare_inputs(spec, cfg, None, batch, train=False)
+        outputs = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            *inputs,
+            train=False,
+        )
+        out = {
+            "loss": spec.loss(outputs, target, **loss_kw),
+            "metric": spec.metric(outputs, target),
+        }
+        if spec.task == "classify":
+            out["pred"] = outputs[2]
+        elif spec.task == "sign":
+            out["pred"] = outputs[1][:, 0]
+            out["prob"] = outputs[0][:, 0]
+        else:
+            out["pred"] = outputs
+            # per-axis |err| for rotation (deg) / translation (m)
+            out["abs_err"] = jnp.mean(jnp.abs(outputs - target), axis=0)
+        return out
+
+    return eval_step
