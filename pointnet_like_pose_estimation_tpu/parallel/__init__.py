@@ -1,0 +1,20 @@
+"""Scaling via jax.sharding meshes — the TPU-native replacement for the
+reference's host concurrency (SURVEY §2.8: single GPU + host threads)."""
+
+from pointnet_like_pose_estimation_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from pointnet_like_pose_estimation_tpu.parallel.train_parallel import (
+    make_parallel_train_step,
+)
+
+__all__ = [
+    "batch_sharding",
+    "make_mesh",
+    "replicate",
+    "shard_batch",
+    "make_parallel_train_step",
+]
