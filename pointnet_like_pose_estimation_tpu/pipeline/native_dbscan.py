@@ -1,0 +1,92 @@
+"""ctypes bindings for the native preprocessing kernels (native/pcnative.cpp).
+
+Builds the shared library on first use (g++ -O3) and caches it next to the
+source; every caller falls back to the pure-python implementations in
+preprocess.py when the toolchain or build is unavailable, so the native path
+is a transparent fast path, never a requirement.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_SRC = os.path.join(_NATIVE_DIR, "pcnative.cpp")
+_SO = os.path.join(_NATIVE_DIR, "libpcnative.so")
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(_SO)
+        lib.pc_dbscan.restype = ctypes.c_int32
+        lib.pc_dbscan.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int32,
+            ctypes.c_double,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.pc_radius_counts.restype = None
+        lib.pc_radius_counts.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int32,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def dbscan(xyz: np.ndarray, eps: float, min_points: int) -> np.ndarray | None:
+    """Native DBSCAN labels, or None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(xyz, dtype=np.float64)
+    labels = np.empty(len(pts), dtype=np.int64)
+    lib.pc_dbscan(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(pts),
+        float(eps),
+        int(min_points),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return labels
+
+
+def radius_counts(xyz: np.ndarray, radius: float) -> np.ndarray | None:
+    """Neighbor counts within radius (excl. self), or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(xyz, dtype=np.float64)
+    counts = np.empty(len(pts), dtype=np.int32)
+    lib.pc_radius_counts(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(pts),
+        float(radius),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return counts

@@ -196,22 +196,29 @@ def _neighbor_counts_and_lists(xyz: np.ndarray, eps: float):
     return neigh_of
 
 
-def dbscan(points: np.ndarray, eps: float = 0.03, min_points: int = 500) -> np.ndarray:
+def dbscan(
+    points: np.ndarray,
+    eps: float = 0.03,
+    min_points: int = 500,
+    *,
+    use_native: bool = True,
+) -> np.ndarray:
     """DBSCAN labels (noise = -1), Open3D cluster_dbscan semantics.
 
-    Grid-hash accelerated host implementation (the reference calls Open3D's
-    C++ kernel, collect.py:42); a native C++ fast path can be slotted in via
-    native/ when built. Note Open3D counts the point itself as a neighbor;
-    so do we.
+    Dispatches to the native C++ grid-hash kernel (native/pcnative.cpp, via
+    ctypes) when available — the reference's equivalent was Open3D's C++
+    backend (collect.py:42) — with an identical-semantics numpy fallback.
+    Note Open3D counts the point itself as a neighbor; so do we.
     """
-    try:
-        from pointnet_like_pose_estimation_tpu.pipeline import native_dbscan
+    if use_native:
+        try:
+            from pointnet_like_pose_estimation_tpu.pipeline import native_dbscan
 
-        labels = native_dbscan.dbscan(points[:, :3].astype(np.float64), eps, min_points)
-        if labels is not None:
-            return labels
-    except Exception:
-        pass
+            labels = native_dbscan.dbscan(points[:, :3].astype(np.float64), eps, min_points)
+            if labels is not None:
+                return labels
+        except Exception:
+            pass
     xyz = points[:, :3].astype(np.float64)
     n = len(xyz)
     neigh = _neighbor_counts_and_lists(xyz, eps)

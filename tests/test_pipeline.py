@@ -158,7 +158,7 @@ def test_end_to_end_pipeline(tiny_pipeline):
     assert out["width"].shape == (K,)
     assert ((out["sign_prob"] > 0) & (out["sign_prob"] < 1)).all()
     # rotation matrices are orthonormal
-    eye = np.einsum("kij,kkj->kik" if False else "kij,klj->kil", out["rotation_matrix"], out["rotation_matrix"])
+    eye = np.einsum("kij,klj->kil", out["rotation_matrix"], out["rotation_matrix"])
     np.testing.assert_allclose(eye, np.eye(3)[None].repeat(K, 0), atol=1e-5)
 
 
@@ -166,3 +166,35 @@ def test_pipeline_none_when_empty(tiny_pipeline):
     pts = np.random.default_rng(4).uniform(-1, 1, (60, 3)).astype(np.float32)
     pts[:, 2] = 5.0  # all beyond clip range
     assert tiny_pipeline(pts) is None
+
+
+def test_native_dbscan_matches_python():
+    from pointnet_like_pose_estimation_tpu.pipeline import native_dbscan
+
+    _, blob1, blob2 = _scene(n_obj=500, seed=7)
+    rng = np.random.default_rng(8)
+    noise = rng.uniform(-1, 1, (50, 3))
+    pts = np.concatenate([blob1, blob2, noise])
+    native = native_dbscan.dbscan(pts, 0.03, 40)
+    if native is None:
+        pytest.skip("native library unavailable")
+    py = dbscan(pts, 0.03, 40, use_native=False)
+    # same cluster structure up to label permutation
+    assert (native == -1).sum() == (py == -1).sum()
+    assert native.max() == py.max()
+    for c in range(py.max() + 1):
+        members = np.where(py == c)[0]
+        assert len(set(native[members].tolist())) == 1
+
+
+def test_native_radius_counts():
+    from pointnet_like_pose_estimation_tpu.pipeline import native_dbscan
+
+    rng = np.random.default_rng(9)
+    pts = rng.normal(0, 0.01, (300, 3))
+    counts = native_dbscan.radius_counts(pts, 0.05)
+    if counts is None:
+        pytest.skip("native library unavailable")
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    want = ((d2 <= 0.05**2).sum(1) - 1).astype(np.int32)
+    np.testing.assert_array_equal(counts, want)
