@@ -1,0 +1,9 @@
+"""Utilities: profiling, logging, compile-cache setup."""
+
+from pointnet_like_pose_estimation_tpu.utils.profiling import (
+    StepTimer,
+    enable_compile_cache,
+    trace,
+)
+
+__all__ = ["StepTimer", "enable_compile_cache", "trace"]

@@ -1,0 +1,61 @@
+"""Tracing / profiling utilities.
+
+The reference's only profiling was ad-hoc ``time.time()`` brackets in model
+smoke tests (rotation.py:71-79, mutilthreading/predict_test.py:51-67 —
+SURVEY §5). TPU-native equivalents: ``jax.profiler`` traces viewable in
+XProf/TensorBoard, a per-step wall-clock timer that understands async
+dispatch, and the persistent compilation cache (compiles over a tunneled
+TPU are minutes; cached reloads are seconds).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import time
+
+import jax
+
+
+def enable_compile_cache(path: str = "/tmp/jax_cache") -> None:
+    """Turn on the persistent XLA compilation cache."""
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/jax_trace"):
+    """Profile a block with jax.profiler (open in XProf/TensorBoard)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Wall-clock timing of jitted steps with proper device sync.
+
+    ``block`` is a leaf of the step output to block on; timing without
+    blocking measures dispatch, not compute.
+    """
+
+    def __init__(self):
+        self.times: list[float] = []
+        self._t0: float | None = None
+
+    def start(self):
+        self._t0 = time.perf_counter()
+
+    def stop(self, block=None):
+        if block is not None:
+            jax.block_until_ready(block)
+        self.times.append(time.perf_counter() - self._t0)
+
+    @property
+    def mean(self) -> float:
+        return sum(self.times) / max(len(self.times), 1)
+
+    def throughput(self, items_per_step: int) -> float:
+        return items_per_step / self.mean if self.times else 0.0
