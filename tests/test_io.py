@@ -51,3 +51,58 @@ def test_replay_camera(tmp_path):
     assert len(frames) == 1
     np.testing.assert_allclose(frames[0], pts, atol=1e-5)
     assert cam.get_cloud() is None
+
+
+def test_stl_roundtrip_and_sampling(tmp_path):
+    from pointnet_like_pose_estimation_tpu.data.stl import (
+        load_stl,
+        sample_mesh_surface,
+        save_stl,
+    )
+
+    # unit cube as 12 triangles
+    v = np.array(
+        [[x, y, z] for x in (0, 1) for y in (0, 1) for z in (0, 1)], dtype=float
+    )
+    faces = [
+        (0, 1, 3), (0, 3, 2), (4, 6, 7), (4, 7, 5),  # x faces
+        (0, 4, 5), (0, 5, 1), (2, 3, 7), (2, 7, 6),  # y faces
+        (0, 2, 6), (0, 6, 4), (1, 5, 7), (1, 7, 3),  # z faces
+    ]
+    tris = np.stack([v[list(f)] for f in faces])
+    path = str(tmp_path / "cube.stl")
+    save_stl(path, tris)
+    got = load_stl(path)
+    assert got.shape == (12, 3, 3)
+    np.testing.assert_allclose(got, tris, atol=1e-6)
+
+    pts = sample_mesh_surface(got, 500, np.random.default_rng(0))
+    assert pts.shape == (500, 3)
+    # all sampled points lie on the cube surface
+    on_face = np.zeros(500, dtype=bool)
+    for ax in range(3):
+        on_face |= np.isclose(pts[:, ax], 0.0, atol=1e-9) | np.isclose(
+            pts[:, ax], 1.0, atol=1e-9
+        )
+    assert on_face.all()
+    assert (pts >= -1e-9).all() and (pts <= 1 + 1e-9).all()
+
+
+def test_stl_ascii(tmp_path):
+    from pointnet_like_pose_estimation_tpu.data.stl import load_stl
+
+    ascii_stl = """solid test
+facet normal 0 0 1
+ outer loop
+  vertex 0 0 0
+  vertex 1 0 0
+  vertex 0 1 0
+ endloop
+endfacet
+endsolid test
+"""
+    p = tmp_path / "tri.stl"
+    p.write_text(ascii_stl)
+    tris = load_stl(str(p))
+    assert tris.shape == (1, 3, 3)
+    np.testing.assert_allclose(tris[0], [[0, 0, 0], [1, 0, 0], [0, 1, 0]])
