@@ -57,6 +57,33 @@ def query_ball_point(
     return jnp.where(idx == N, first, idx)
 
 
+def query_ball_point_chunked(
+    radius: float,
+    num_neighbors: int,
+    points: jax.Array,
+    centroids: jax.Array,
+    *,
+    tile: int = 64,
+) -> jax.Array:
+    """query_ball_point with the centroid axis tiled through ``lax.map``.
+
+    Identical results; the [B, S, N] distance matrix never materializes in
+    HBM — each map iteration computes a [B, tile, N] slab that XLA keeps
+    fused with its top_k. Use for large S*N (e.g. S=512, N>=4096 clouds or
+    big batches) where the full matrix would be HBM-resident.
+    """
+    B, S, C = centroids.shape
+    if S % tile != 0:
+        return query_ball_point(radius, num_neighbors, points, centroids)
+    tiles = jnp.moveaxis(centroids.reshape(B, S // tile, tile, C), 1, 0)
+
+    def one(tile_centroids):
+        return query_ball_point(radius, num_neighbors, points, tile_centroids)
+
+    out = jax.lax.map(one, tiles)                             # [S/tile, B, tile, K]
+    return jnp.moveaxis(out, 0, 1).reshape(B, S, num_neighbors)
+
+
 def sample_and_group(
     points: jax.Array,
     features: jax.Array | None,

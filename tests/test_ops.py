@@ -119,3 +119,20 @@ def test_ops_jit_under_vmap(clouds):
     )
     out = fn(jnp.asarray(clouds))
     assert out.shape == (4, 16, 8, 3)
+
+
+def test_query_ball_point_chunked_matches(clouds):
+    from pointnet_like_pose_estimation_tpu.ops.grouping import query_ball_point_chunked
+
+    centroids = clouds[:, :64, :]
+    for radius in (0.4, 1.0):
+        a = np.asarray(ops.query_ball_point(radius, 8, jnp.asarray(clouds), jnp.asarray(centroids)))
+        b = np.asarray(
+            query_ball_point_chunked(radius, 8, jnp.asarray(clouds), jnp.asarray(centroids), tile=16)
+        )
+        np.testing.assert_array_equal(a, b)
+    # non-divisible S falls back to the dense path
+    c = np.asarray(
+        query_ball_point_chunked(0.4, 8, jnp.asarray(clouds), jnp.asarray(clouds[:, :50, :]), tile=16)
+    )
+    assert c.shape == (4, 50, 8)
