@@ -139,13 +139,41 @@ def train(
     resume: bool = True,
 ) -> tuple:
     """Run the full training recipe; returns (state, history)."""
+    if cfg.multihost:
+        jax.distributed.initialize()
     spec = get_model_spec(cfg.model)
     steps_per_epoch = max(len(train_ds) // cfg.batch_size, 1)
     spec, model, state = build_state(cfg, steps_per_epoch)
-    train_step = make_train_step(spec, cfg)
+    put = lambda b: {k: jnp.asarray(v) for k, v in b.items()}  # noqa: E731
+    if cfg.data_parallel:
+        from pointnet_like_pose_estimation_tpu.parallel import (
+            make_mesh,
+            make_parallel_train_step,
+            replicate,
+            shard_batch,
+        )
+
+        mesh = make_mesh()
+        if cfg.batch_size % mesh.shape["data"]:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by data axis "
+                f"{mesh.shape['data']}"
+            )
+        state = replicate(state, mesh)
+        train_step = make_parallel_train_step(spec, cfg, mesh)
+        put = lambda b: shard_batch(b, mesh)  # noqa: E731
+    else:
+        train_step = make_train_step(spec, cfg)
     eval_step = make_eval_step(spec, cfg)
 
     ckpt = _ckpt_dir(cfg)
+    # per-experiment file log, mirroring the reference's create_log
+    # (train_classification.py:178-186) layout log/<task>/<exp>/logs/
+    logs_dir = os.path.join(os.path.dirname(ckpt), "logs")
+    os.makedirs(logs_dir, exist_ok=True)
+    fh = logging.FileHandler(os.path.join(logs_dir, f"{cfg.model}.log"))
+    fh.setFormatter(logging.Formatter("%(asctime)s %(message)s"))
+    log.addHandler(fh)
     start_epoch, best_metric = 0, None
     latest = os.path.join(ckpt, "latest.msgpack")
     if resume and os.path.exists(latest):
@@ -163,7 +191,7 @@ def train(
         t0 = time.time()
         train_loss, train_metric, n = 0.0, 0.0, 0
         for batch in iter_batches(train_ds, cfg.batch_size, rng=rng):
-            state, metrics = train_step(state, {k: jnp.asarray(v) for k, v in batch.items()})
+            state, metrics = train_step(state, put(batch))
             train_loss += float(metrics["loss"])
             train_metric += float(metrics["metric"])
             n += 1
@@ -184,4 +212,6 @@ def train(
         save_checkpoint(latest, state, epoch, row.get("train_loss", 0.0))
         history.append(row)
         log.info("%s", row)
+    log.removeHandler(fh)
+    fh.close()
     return state, history

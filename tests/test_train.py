@@ -95,3 +95,20 @@ def test_compat_flags_run(tiny_ds, tmp_path):
     )
     _, history = train(cfg, train_ds, test_ds, resume=False)
     assert np.isfinite(history[-1]["train_loss"])
+
+
+def test_data_parallel_train_loop(tiny_ds, tmp_path):
+    train_ds, test_ds = tiny_ds
+    cfg = _cfg(
+        "pointnet_cls",
+        epochs=2,
+        log_dir=str(tmp_path),
+        experiment="dp",
+        data_parallel=True,
+        batch_size=8,  # divisible by 8 devices
+    )
+    state, history = train(cfg, train_ds, test_ds, resume=False)
+    assert len(history) == 2
+    assert np.isfinite(history[-1]["train_loss"])
+    # file log written (create_log parity)
+    assert (tmp_path / "classification" / "dp" / "logs" / "pointnet_cls.log").exists()
