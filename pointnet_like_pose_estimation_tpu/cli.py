@@ -56,6 +56,7 @@ def _cfg_from_args(args):
         augment=not args.no_augment,
         compat_first3_mean=args.compat_first3_mean,
         compat_pm1_bce=args.compat_pm1_bce,
+        data_parallel=args.data_parallel,
     )
     if args.learning_rate is not None:
         kw["learning_rate"] = args.learning_rate

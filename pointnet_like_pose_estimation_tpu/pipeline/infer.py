@@ -58,12 +58,30 @@ class PipelineConfig:
 class GraspPipeline:
     """Holds the five models + the fused jitted inference program."""
 
-    def __init__(self, cfg: PipelineConfig, models: dict[str, tuple[Any, Any]]):
+    def __init__(
+        self, cfg: PipelineConfig, models: dict[str, tuple[Any, Any]], mesh=None
+    ):
         """models: name -> (flax module, variables) for keys
-        classifier/rotation/sign/translation/width."""
+        classifier/rotation/sign/translation/width.
+
+        With ``mesh`` (axis 'data'), the cluster batch is sharded across
+        devices — the multi-host cluster fan-out of SURVEY §2.8 (clusters
+        partitioned across hosts instead of the reference's 4 GPU threads).
+        """
         self.cfg = cfg
         self.models = models
-        self._infer = jax.jit(self._infer_fn)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._data_sharding = NamedSharding(mesh, P("data"))
+            self._infer = jax.jit(
+                self._infer_fn,
+                in_shardings=self._data_sharding,
+                out_shardings=NamedSharding(mesh, P()),
+            )
+        else:
+            self._infer = jax.jit(self._infer_fn)
 
     @classmethod
     def from_random(cls, cfg: PipelineConfig | None = None, seed: int = 0):
@@ -173,8 +191,18 @@ class GraspPipeline:
         }
 
     def infer_clusters(self, clusters: np.ndarray) -> dict:
-        """Clusters [K, M, C] -> grasp estimates (device dict)."""
+        """Clusters [K, M, C] -> grasp estimates (device dict). With a mesh,
+        K is padded up to a multiple of the data axis and sharded."""
         xyz = self._resample(clusters)
+        K = len(xyz)
+        if self.mesh is not None:
+            n = self.mesh.shape["data"]
+            pad = (-K) % n
+            if pad:
+                xyz = np.concatenate([xyz, np.tile(xyz[:1], (pad, 1, 1))])
+            xyz = jax.device_put(jnp.asarray(xyz), self._data_sharding)
+            out = jax.device_get(self._infer(xyz))
+            return {k: v[:K] for k, v in out.items()}
         return jax.device_get(self._infer(jnp.asarray(xyz)))
 
     def __call__(self, points: np.ndarray) -> dict | None:

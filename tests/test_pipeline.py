@@ -198,3 +198,19 @@ def test_native_radius_counts():
     d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
     want = ((d2 <= 0.05**2).sum(1) - 1).astype(np.int32)
     np.testing.assert_array_equal(counts, want)
+
+
+def test_mesh_sharded_cluster_inference():
+    from pointnet_like_pose_estimation_tpu.parallel import make_mesh
+
+    cfg = PipelineConfig(num_points=64, num_classes=7)
+    mesh = make_mesh()
+    pipe = GraspPipeline.from_random(cfg)
+    pipe_mesh = GraspPipeline(cfg, pipe.models, mesh=mesh)
+    rng = np.random.default_rng(11)
+    clusters = rng.normal(0, 0.01, (3, 64, 3)).astype(np.float32)  # K=3 pads to 8
+    a = pipe.infer_clusters(clusters)
+    b = pipe_mesh.infer_clusters(clusters)
+    assert b["translation"].shape == (3, 3)
+    np.testing.assert_allclose(a["translation"], b["translation"], rtol=1e-3, atol=1e-5)
+    np.testing.assert_array_equal(a["pred_class"], b["pred_class"])
