@@ -1,0 +1,131 @@
+"""Fused ball-query + gather + center Pallas kernel.
+
+The XLA path of ``sample_and_group`` materializes the [B, S, N] distance
+matrix in HBM, runs top_k over it, then two gathers (SURVEY §3.3 hot spots).
+This kernel does the whole thing per (batch row, centroid tile) in VMEM:
+
+- distances via one MXU matmul (centroid tile @ pointsᵀ),
+- the reference's "K lowest in-ball indices" selection (pointnet2_utils.py:
+  70-90 sort-semantics) as K iterations of a masked lane-min — Mosaic has no
+  top_k/sort, but a min-reduction over an index-valued key vector IS the
+  argmin, and K is small (16-128),
+- gathers as one-hot matmuls on the MXU (no per-element dynamic indexing),
+- pad-with-first-in-ball and centroid subtraction fused in.
+
+HBM traffic: one read of points/features/centroids, one write of the
+[B, S, K, C] output. Numerics golden-tested against ops.sample_and_group.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ball_group_kernel(
+    pts_ref,        # [1, N, C]  xyz (+features), channels last
+    cent_ref,       # [1, T, 3]  centroid tile
+    out_ref,        # [1, 1, K, T, C] — K leading so the dynamic-k store hits
+    #                 a non-tiled dimension (Mosaic constraint)
+    *,
+    radius: float,
+    num_neighbors: int,
+):
+    N, C = pts_ref.shape[1], pts_ref.shape[2]
+    T = cent_ref.shape[1]
+    K = num_neighbors
+
+    pts = pts_ref[0]                                          # [N, C]
+    xyz = pts[:, :3]                                          # [N, 3]
+    cent = cent_ref[0]                                        # [T, 3]
+
+    # squared distances [T, N] — inner product on the MXU
+    inner = jnp.dot(cent, xyz.T, preferred_element_type=jnp.float32)
+    d2 = (
+        jnp.sum(cent * cent, axis=-1, keepdims=True)
+        - 2.0 * inner
+        + jnp.sum(xyz * xyz, axis=-1)[None, :]
+    )
+    in_ball = d2 <= radius * radius                           # [T, N]
+
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
+    sentinel = jnp.int32(N)
+    # centroid zero-padded to C channels: subtracting it centers the
+    # coordinate channels and leaves features untouched (no lane slicing)
+    cent_pad = jnp.pad(cent, ((0, 0), (0, C - 3))) if C > 3 else cent
+
+    def body(k, carry):
+        selected, first_onehot = carry
+        keys = jnp.where(in_ball & jnp.logical_not(selected), lane_idx, sentinel)
+        cur = jnp.min(keys, axis=-1)                          # [T] lowest unused idx
+        onehot = (lane_idx == cur[:, None]).astype(jnp.float32)  # all-zero if empty
+        # pad-with-first semantics: empty slot -> duplicate slot 0's point
+        empty = (cur == sentinel)[:, None]
+        use = jnp.where(empty, first_onehot, onehot)
+        gathered = jnp.dot(use, pts, preferred_element_type=jnp.float32)  # [T, C]
+        out_ref[0, 0, k] = gathered - cent_pad
+        selected = selected | (onehot > 0)
+        first_onehot = jnp.where(k == 0, use, first_onehot)
+        return selected, first_onehot
+
+    init = (jnp.zeros((T, N), jnp.bool_), jnp.zeros((T, N), jnp.float32))
+    jax.lax.fori_loop(0, K, body, init)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius", "num_neighbors", "tile", "interpret")
+)
+def ball_group_pallas(
+    points: jax.Array,
+    centroids: jax.Array,
+    *,
+    radius: float,
+    num_neighbors: int,
+    tile: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused grouped neighborhoods, centered on centroids.
+
+    Args:
+      points: [B, N, C] clouds; channels 0:3 are coordinates, 3: are
+        features carried along (pre-concatenated).
+      centroids: [B, S, 3] query points (S divisible by ``tile``).
+      radius: ball radius.
+      num_neighbors: K.
+      tile: centroid tile per grid program.
+
+    Returns:
+      [B, S, K, C]: channels 0:3 centered on the centroid, features raw —
+      the reference's sample_and_group output layout with concat order
+      [centered_coords, features].
+    """
+    B, N, C = points.shape
+    _, S, _ = centroids.shape
+    T = min(tile, S)
+    assert S % T == 0, (S, T)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _ball_group_kernel, radius=radius, num_neighbors=num_neighbors
+        ),
+        grid=(B, S // T),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, 3), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, num_neighbors, T, C),
+            lambda b, s: (b, s, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, S // T, num_neighbors, T, C), jnp.float32
+        ),
+        interpret=interpret,
+    )(points.astype(jnp.float32), centroids.astype(jnp.float32))
+    # [B, S/T, K, T, C] -> [B, S, K, C]
+    return jnp.swapaxes(out, 2, 3).reshape(B, S, num_neighbors, C)

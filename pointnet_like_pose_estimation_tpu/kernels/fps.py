@@ -25,14 +25,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _fps_kernel(start_ref, points_ref, idx_ref, dist_ref, *, num_samples: int):
-    """One program = one cloud. points_ref: [1, C, N]; idx_ref: [1, S];
+    """One program = one cloud. points_ref: [1, C, N]; idx_ref: [1, 1, S]
+    (leading singleton keeps the block's trailing dims tile-aligned);
     start_ref: the full [B] start-index vector in SMEM (scalar-prefetch)."""
     N = points_ref.shape[-1]
+    S = idx_ref.shape[-1]
     b = pl.program_id(0)
     dist_ref[...] = jnp.full((1, N), 1e10, dtype=jnp.float32)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
 
     def body(i, farthest):
-        idx_ref[0, i] = farthest
+        # vector write of slot i (Mosaic cannot store scalars to VMEM)
+        idx_ref[0] = jnp.where(slot == i, farthest, idx_ref[0])
         # centroid = points[:, farthest]  (dynamic lane slice, stays in VMEM)
         centroid = points_ref[0, :, pl.ds(farthest, 1)]       # [3, 1]
         diff = points_ref[0, :, :] - centroid                 # [3, N]
@@ -76,12 +80,15 @@ def fps_pallas(
             # index_map args: (grid index, scalar-prefetch ref)
             pl.BlockSpec((1, C, N), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, num_samples), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, 1, num_samples), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
         scratch_shapes=[pltpu.VMEM((1, N), jnp.float32)],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_fps_kernel, num_samples=num_samples),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, num_samples), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, 1, num_samples), jnp.int32),
         interpret=interpret,
     )(start_idx.astype(jnp.int32), pts)
+    return out[:, 0, :]

@@ -26,3 +26,40 @@ def test_fps_pallas_custom_start():
     want = farthest_point_sample(pts, 16, start_idx=start)
     got = fps_pallas(pts, 16, start_idx=start, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_ball_group_pallas_matches_reference():
+    from pointnet_like_pose_estimation_tpu.kernels.ball_group import ball_group_pallas
+    from pointnet_like_pose_estimation_tpu.ops import (
+        index_points,
+        query_ball_point,
+        sample_and_group,
+    )
+
+    rng = np.random.default_rng(5)
+    B, N, S, K, D = 2, 256, 32, 8, 5
+    xyz = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
+    feats = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
+    # centroids are actual cloud points (as FPS produces)
+    cent = xyz[:, ::8, :]  # [B, 32, 3]
+
+    for radius in (0.5, 1.5):
+        idx = query_ball_point(radius, K, xyz, cent)
+        want = index_points(xyz, idx) - cent[:, :, None, :]
+        want = jnp.concatenate([want, index_points(feats, idx)], axis=-1)
+        got = ball_group_pallas(
+            jnp.concatenate([xyz, feats], -1), cent,
+            radius=radius, num_neighbors=K, tile=32, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5,
+            err_msg=f"radius={radius}",
+        )
+
+
+def test_ball_group_pallas_lowers_for_tpu():
+    # lowering probe (no execution): all primitives must be Mosaic-supported
+    import jax
+
+    if "TPU" not in str(jax.devices()[0]).upper() and jax.default_backend() == "cpu":
+        pytest.skip("needs a TPU lowering target")
