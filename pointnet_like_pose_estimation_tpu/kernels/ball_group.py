@@ -27,21 +27,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _ball_group_kernel(
-    pts_ref,        # [1, N, C]  xyz (+features), channels last
-    cent_ref,       # [1, T, 3]  centroid tile
+    pts_ref,        # [1, N, C]  point channels (+feature channels)
+    cent_ref,       # [1, T, P]  centroid tile (P = coord/point channels)
     out_ref,        # [1, 1, K, T, C] — K leading so the dynamic-k store hits
     #                 a non-tiled dimension (Mosaic constraint)
+    idx_ref,        # [1, 1, K, T, 1] int32 — selected (post-pad) indices
     *,
     radius: float,
     num_neighbors: int,
 ):
     N, C = pts_ref.shape[1], pts_ref.shape[2]
-    T = cent_ref.shape[1]
+    T, P = cent_ref.shape[1], cent_ref.shape[2]
     K = num_neighbors
 
     pts = pts_ref[0]                                          # [N, C]
-    xyz = pts[:, :3]                                          # [N, 3]
-    cent = cent_ref[0]                                        # [T, 3]
+    xyz = pts[:, :P]                                          # [N, P] point chans
+    cent = cent_ref[0]                                        # [T, P]
 
     # squared distances [T, N] — inner product on the MXU
     inner = jnp.dot(cent, xyz.T, preferred_element_type=jnp.float32)
@@ -54,46 +55,93 @@ def _ball_group_kernel(
 
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
     sentinel = jnp.int32(N)
-    # centroid zero-padded to C channels: subtracting it centers the
-    # coordinate channels and leaves features untouched (no lane slicing)
-    cent_pad = jnp.pad(cent, ((0, 0), (0, C - 3))) if C > 3 else cent
+    # centroid zero-padded to C channels: subtracting it centers the point
+    # channels (ALL of them — reference semantics, pointnet2_utils.py:110
+    # with (3+num_category)-channel pose inputs) and leaves features alone
+    cent_pad = jnp.pad(cent, ((0, 0), (0, C - P))) if C > P else cent
 
     def body(k, carry):
-        selected, first_onehot = carry
+        selected, first_onehot, first_idx = carry
         keys = jnp.where(in_ball & jnp.logical_not(selected), lane_idx, sentinel)
-        cur = jnp.min(keys, axis=-1)                          # [T] lowest unused idx
-        onehot = (lane_idx == cur[:, None]).astype(jnp.float32)  # all-zero if empty
+        cur = jnp.min(keys, axis=-1, keepdims=True)           # [T, 1] lowest unused
+        onehot = (lane_idx == cur).astype(jnp.float32)        # all-zero if empty
         # pad-with-first semantics: empty slot -> duplicate slot 0's point
-        empty = (cur == sentinel)[:, None]
+        empty = cur == sentinel                               # [T, 1]
         use = jnp.where(empty, first_onehot, onehot)
         gathered = jnp.dot(use, pts, preferred_element_type=jnp.float32)  # [T, C]
         out_ref[0, 0, k] = gathered - cent_pad
+        first_idx = jnp.where(k == 0, cur, first_idx)
+        idx_ref[0, 0, k] = jnp.where(empty, first_idx, cur)   # used index (for VJP)
         selected = selected | (onehot > 0)
         first_onehot = jnp.where(k == 0, use, first_onehot)
-        return selected, first_onehot
+        return selected, first_onehot, first_idx
 
-    init = (jnp.zeros((T, N), jnp.bool_), jnp.zeros((T, N), jnp.float32))
+    init = (
+        jnp.zeros((T, N), jnp.bool_),
+        jnp.zeros((T, N), jnp.float32),
+        jnp.zeros((T, 1), jnp.int32),
+    )
     jax.lax.fori_loop(0, K, body, init)
 
 
 @functools.partial(
     jax.jit, static_argnames=("radius", "num_neighbors", "tile", "interpret")
 )
+def _ball_group_raw(points, centroids, *, radius, num_neighbors, tile, interpret):
+    B, N, C = points.shape
+    _, S, P = centroids.shape
+    T = min(tile, S)
+    assert S % T == 0, (S, T)
+    K = num_neighbors
+
+    out, idx = pl.pallas_call(
+        functools.partial(
+            _ball_group_kernel, radius=radius, num_neighbors=num_neighbors
+        ),
+        grid=(B, S // T),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, P), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, 1, K, T, C), lambda b, s: (b, s, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, K, T, 1), lambda b, s: (b, s, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S // T, K, T, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, S // T, K, T, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(points.astype(jnp.float32), centroids.astype(jnp.float32))
+    # [B, S/T, K, T, *] -> [B, S, K, *]
+    out = jnp.swapaxes(out, 2, 3).reshape(B, S, K, C)
+    idx = jnp.swapaxes(idx[..., 0], 2, 3).reshape(B, S, K)
+    return out, idx
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5)
+)
 def ball_group_pallas(
     points: jax.Array,
     centroids: jax.Array,
-    *,
     radius: float,
     num_neighbors: int,
     tile: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused grouped neighborhoods, centered on centroids.
+    """Fused grouped neighborhoods, centered on centroids (differentiable).
 
     Args:
       points: [B, N, C] clouds; channels 0:3 are coordinates, 3: are
         features carried along (pre-concatenated).
-      centroids: [B, S, 3] query points (S divisible by ``tile``).
+      centroids: [B, S, P] query points, P = number of point channels used
+        for both the distance test and the centering (3 for raw clouds,
+        3+num_category for spliced pose inputs — reference semantics).
       radius: ball radius.
       num_neighbors: K.
       tile: centroid tile per grid program.
@@ -102,30 +150,38 @@ def ball_group_pallas(
       [B, S, K, C]: channels 0:3 centered on the centroid, features raw —
       the reference's sample_and_group output layout with concat order
       [centered_coords, features].
-    """
-    B, N, C = points.shape
-    _, S, _ = centroids.shape
-    T = min(tile, S)
-    assert S % T == 0, (S, T)
 
-    out = pl.pallas_call(
-        functools.partial(
-            _ball_group_kernel, radius=radius, num_neighbors=num_neighbors
-        ),
-        grid=(B, S // T),
-        in_specs=[
-            pl.BlockSpec((1, N, C), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, 3), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, num_neighbors, T, C),
-            lambda b, s: (b, s, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (B, S // T, num_neighbors, T, C), jnp.float32
-        ),
-        interpret=interpret,
-    )(points.astype(jnp.float32), centroids.astype(jnp.float32))
-    # [B, S/T, K, T, C] -> [B, S, K, C]
-    return jnp.swapaxes(out, 2, 3).reshape(B, S, num_neighbors, C)
+    The custom VJP scatter-adds output cotangents back to points (gather
+    transpose) and sums the coordinate cotangents into centroids, exactly
+    the gradient of the XLA gather path.
+    """
+    out, _ = _ball_group_raw(
+        points, centroids, radius=radius, num_neighbors=num_neighbors,
+        tile=tile, interpret=interpret,
+    )
+    return out
+
+
+def _ball_group_fwd(points, centroids, radius, num_neighbors, tile, interpret):
+    out, idx = _ball_group_raw(
+        points, centroids, radius=radius, num_neighbors=num_neighbors,
+        tile=tile, interpret=interpret,
+    )
+    # residuals must be jax types: carry the input arrays for shapes/dtypes
+    # (both alive anyway as operands of the forward)
+    return out, (idx, points, centroids)
+
+
+def _ball_group_bwd(radius, num_neighbors, tile, interpret, res, g):
+    idx, points, centroids = res
+    B = idx.shape[0]
+    P = centroids.shape[-1]
+    # d points: scatter-add of the cotangent at each selected index
+    batch = jnp.arange(B)[:, None, None]
+    dpts = jnp.zeros_like(points).at[batch, idx, :].add(g.astype(points.dtype))
+    # d centroids: the -cent_pad term -> minus the summed point-channel grads
+    dcent = -jnp.sum(g[..., :P], axis=2).astype(centroids.dtype)
+    return dpts, dcent
+
+
+ball_group_pallas.defvjp(_ball_group_fwd, _ball_group_bwd)

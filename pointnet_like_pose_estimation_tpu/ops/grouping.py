@@ -23,6 +23,12 @@ from pointnet_like_pose_estimation_tpu.ops.geometry import (
 from pointnet_like_pose_estimation_tpu.ops.sampling import farthest_point_sample
 
 
+def _grouping_impl() -> str:
+    from pointnet_like_pose_estimation_tpu.kernels import flags
+
+    return flags.grouping_impl()
+
+
 def query_ball_point(
     radius: float,
     num_neighbors: int,
@@ -116,12 +122,36 @@ def sample_and_group(
     if fps_idx is None:
         fps_idx = farthest_point_sample(points, num_centroids)
     centroids = index_points(points, fps_idx)                 # [B, S, 3]
-    idx = query_ball_point(radius, num_neighbors, points, centroids)
-    grouped = index_points(points, idx)                       # [B, S, K, 3]
-    grouped = grouped - centroids[:, :, None, :]
-    if features is not None:
-        grouped_feat = index_points(features, idx)            # [B, S, K, D]
-        grouped = jnp.concatenate([grouped, grouped_feat], axis=-1)
+
+    impl = _grouping_impl()
+    S = int(num_centroids)
+    if impl.startswith("pallas") and S % min(128, S) == 0:
+        from pointnet_like_pose_estimation_tpu.kernels.ball_group import (
+            ball_group_pallas,
+        )
+
+        cat = (
+            points
+            if features is None
+            else jnp.concatenate([points, features], axis=-1)
+        )
+        # full point-channel centroids: distance + centering over every
+        # point channel, like the reference (spliced pose inputs included)
+        grouped = ball_group_pallas(
+            cat,
+            centroids,
+            radius,
+            num_neighbors,
+            min(128, S),
+            impl == "pallas_interpret",
+        )
+    else:
+        idx = query_ball_point(radius, num_neighbors, points, centroids)
+        grouped = index_points(points, idx)                   # [B, S, K, 3]
+        grouped = grouped - centroids[:, :, None, :]
+        if features is not None:
+            grouped_feat = index_points(features, idx)        # [B, S, K, D]
+            grouped = jnp.concatenate([grouped, grouped_feat], axis=-1)
     if return_fps:
         return centroids, grouped, fps_idx
     return centroids, grouped

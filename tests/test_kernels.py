@@ -48,13 +48,38 @@ def test_ball_group_pallas_matches_reference():
         want = index_points(xyz, idx) - cent[:, :, None, :]
         want = jnp.concatenate([want, index_points(feats, idx)], axis=-1)
         got = ball_group_pallas(
-            jnp.concatenate([xyz, feats], -1), cent,
-            radius=radius, num_neighbors=K, tile=32, interpret=True,
+            jnp.concatenate([xyz, feats], -1), cent, radius, K, 32, True
         )
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5,
             err_msg=f"radius={radius}",
         )
+
+
+def test_ball_group_pallas_gradients_match_xla():
+    from pointnet_like_pose_estimation_tpu.kernels.ball_group import ball_group_pallas
+    from pointnet_like_pose_estimation_tpu.ops import index_points, query_ball_point
+
+    rng = np.random.default_rng(6)
+    B, N, S, K = 2, 128, 16, 8
+    xyz = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
+    cent = xyz[:, ::8, :]
+    radius = 0.8
+
+    def xla_path(p, c):
+        idx = query_ball_point(radius, K, p, c)
+        return jnp.sum(jnp.sin(index_points(p, idx) - c[:, :, None, :]))
+
+    def pallas_path(p, c):
+        return jnp.sum(jnp.sin(ball_group_pallas(p, c, radius, K, 16, True)))
+
+    ga = jax.grad(xla_path, argnums=(0, 1))(xyz, cent)
+    gb = jax.grad(pallas_path, argnums=(0, 1))(xyz, cent)
+    # d/dcentroids in the XLA path also flows through query_ball_point's
+    # comparison (zero) and the gather of p (via cent coming from p slices) —
+    # here cent is an independent input so both paths see only the -cent term
+    np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gb[0]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]), rtol=1e-4, atol=1e-5)
 
 
 def test_ball_group_pallas_lowers_for_tpu():
@@ -63,3 +88,25 @@ def test_ball_group_pallas_lowers_for_tpu():
 
     if "TPU" not in str(jax.devices()[0]).upper() and jax.default_backend() == "cpu":
         pytest.skip("needs a TPU lowering target")
+
+
+def test_sample_and_group_pallas_dispatch_matches_xla():
+    from pointnet_like_pose_estimation_tpu.kernels import flags
+    from pointnet_like_pose_estimation_tpu.ops import sample_and_group
+
+    rng = np.random.default_rng(7)
+    # multi-channel "points" like a spliced pose input (one-hot constant/cloud)
+    xyz = rng.standard_normal((2, 256, 3)).astype(np.float32)
+    onehot = np.zeros((2, 256, 4), np.float32)
+    onehot[0, :, 1] = 1.0
+    onehot[1, :, 2] = 1.0
+    pts = jnp.asarray(np.concatenate([xyz, onehot], -1))
+
+    flags.set_impls(grouping="xla")
+    try:
+        _, want = sample_and_group(pts, None, 128, 16, 0.6)
+        flags.set_impls(grouping="pallas_interpret")
+        _, got = sample_and_group(pts, None, 128, 16, 0.6)
+    finally:
+        flags.set_impls(grouping="auto")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
