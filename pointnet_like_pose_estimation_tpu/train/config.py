@@ -34,6 +34,7 @@ class TrainConfig:
     augment: bool = True
     data_parallel: bool = False      # shard the batch over a 'data' mesh axis
     multihost: bool = False          # call jax.distributed.initialize() first
+    scan_epoch: bool = False         # whole epoch in one dispatch (lax.scan)
     # reference-compat quirk flags (SURVEY §3.2)
     compat_first3_mean: bool = False  # train_translation.py:113 first-3-points mean
     compat_pm1_bce: bool = False      # train_sign.py:121 ±1 targets into BCE

@@ -30,7 +30,11 @@ from pointnet_like_pose_estimation_tpu.data.dataset import PoseDataset, iter_bat
 from pointnet_like_pose_estimation_tpu.models import get_model_spec
 from pointnet_like_pose_estimation_tpu.train.config import TrainConfig
 from pointnet_like_pose_estimation_tpu.train.state import create_train_state
-from pointnet_like_pose_estimation_tpu.train.steps import make_eval_step, make_train_step
+from pointnet_like_pose_estimation_tpu.train.steps import (
+    make_epoch_runner,
+    make_eval_step,
+    make_train_step,
+)
 
 log = logging.getLogger("plpe.train")
 
@@ -124,10 +128,15 @@ def evaluate(cfg: TrainConfig, state, ds: PoseDataset, eval_step=None) -> dict:
         result["instance_acc"] = float(per_class_correct.sum() / per_class_count.sum())
         result["class_acc"] = float(acc.mean())
     elif spec.task in ("rotation", "translation"):
+        # translation reported in cm (test_translation.py:101), rotation in
+        # degrees; per-class-per-axis like test_rotation.py:84-97
         scale = 100.0 if spec.task == "translation" else 1.0
         axis_err = per_class_err.sum(0) / max(per_class_count.sum(), 1) * scale
         result["axis_err"] = axis_err.tolist()
         result["mean_err"] = float(axis_err.mean())
+        with np.errstate(invalid="ignore"):
+            pc = per_class_err / np.maximum(per_class_count[:, None], 1) * scale
+        result["per_class_axis_err"] = pc[seen].tolist()
     return result
 
 
@@ -164,6 +173,9 @@ def train(
         put = lambda b: shard_batch(b, mesh)  # noqa: E731
     else:
         train_step = make_train_step(spec, cfg)
+    epoch_runner = (
+        make_epoch_runner(spec, cfg) if cfg.scan_epoch and not cfg.data_parallel else None
+    )
     eval_step = make_eval_step(spec, cfg)
 
     ckpt = _ckpt_dir(cfg)
@@ -190,11 +202,24 @@ def train(
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
         train_loss, train_metric, n = 0.0, 0.0, 0
-        for batch in iter_batches(train_ds, cfg.batch_size, rng=rng):
-            state, metrics = train_step(state, put(batch))
-            train_loss += float(metrics["loss"])
-            train_metric += float(metrics["metric"])
-            n += 1
+        if epoch_runner is not None:
+            stacked = None
+            for batch in iter_batches(train_ds, cfg.batch_size, rng=rng):
+                if stacked is None:
+                    stacked = {k: [] for k in batch}
+                for k, v in batch.items():
+                    stacked[k].append(v)
+            batches = {k: jnp.asarray(np.stack(v)) for k, v in stacked.items()}
+            state, metrics = epoch_runner(state, batches)
+            n = len(next(iter(batches.values())))
+            train_loss = float(jnp.sum(metrics["loss"]))
+            train_metric = float(jnp.sum(metrics["metric"]))
+        else:
+            for batch in iter_batches(train_ds, cfg.batch_size, rng=rng):
+                state, metrics = train_step(state, put(batch))
+                train_loss += float(metrics["loss"])
+                train_metric += float(metrics["metric"])
+                n += 1
         row = {
             "epoch": epoch,
             "train_loss": train_loss / max(n, 1),

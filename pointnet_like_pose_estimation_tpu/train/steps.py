@@ -95,6 +95,46 @@ def make_train_step(spec: ModelSpec, cfg: TrainConfig) -> Callable:
     return train_step
 
 
+def make_epoch_runner(spec: ModelSpec, cfg: TrainConfig) -> Callable:
+    """Whole-epoch training in ONE dispatch: ``lax.scan`` over stacked
+    batches.
+
+    The per-step host round-trip dominates wall clock when steps are fast
+    (sub-ms) or the device is reached over a tunnel. This wraps the same
+    train-step body in a scan over ``[num_batches, B, ...]`` arrays: one
+    device call per epoch, metrics returned per batch.
+    """
+    loss_kw = _loss_kwargs(spec, cfg)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def epoch_runner(state: PoseTrainState, batches: dict):
+        def one_step(state, batch):
+            rng, aug_key, drop_key = jax.random.split(state.rng, 3)
+            inputs, target = _prepare_inputs(spec, cfg, aug_key, batch, train=True)
+
+            def loss_fn(params):
+                outputs, updates = state.apply_fn(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    *inputs,
+                    train=True,
+                    rngs={"dropout": drop_key},
+                    mutable=["batch_stats"],
+                )
+                return spec.loss(outputs, target, **loss_kw), (outputs, updates)
+
+            (loss, (outputs, updates)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            state = state.apply_gradients(
+                grads=grads, batch_stats=updates["batch_stats"], rng=rng
+            )
+            return state, {"loss": loss, "metric": spec.metric(outputs, target)}
+
+        return jax.lax.scan(one_step, state, batches)
+
+    return epoch_runner
+
+
 def make_eval_step(spec: ModelSpec, cfg: TrainConfig) -> Callable:
     """Build the jitted eval step; returns per-batch metrics + predictions."""
     loss_kw = _loss_kwargs(spec, cfg)

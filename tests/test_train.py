@@ -112,3 +112,17 @@ def test_data_parallel_train_loop(tiny_ds, tmp_path):
     assert np.isfinite(history[-1]["train_loss"])
     # file log written (create_log parity)
     assert (tmp_path / "classification" / "dp" / "logs" / "pointnet_cls.log").exists()
+
+
+def test_scan_epoch_matches_per_step(tiny_ds, tmp_path):
+    train_ds, test_ds = tiny_ds
+    a = _cfg("pointnet_cls", epochs=2, log_dir=str(tmp_path), experiment="scan_a")
+    b = _cfg(
+        "pointnet_cls", epochs=2, log_dir=str(tmp_path), experiment="scan_b",
+        scan_epoch=True,
+    )
+    # without shuffling rng divergence: same seed -> same batch order
+    _, ha = train(a, train_ds, test_ds, resume=False)
+    _, hb = train(b, train_ds, test_ds, resume=False)
+    np.testing.assert_allclose(ha[0]["train_loss"], hb[0]["train_loss"], rtol=1e-4)
+    np.testing.assert_allclose(ha[-1]["train_loss"], hb[-1]["train_loss"], rtol=1e-3)
