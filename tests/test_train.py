@@ -126,3 +126,10 @@ def test_scan_epoch_matches_per_step(tiny_ds, tmp_path):
     _, hb = train(b, train_ds, test_ds, resume=False)
     np.testing.assert_allclose(ha[0]["train_loss"], hb[0]["train_loss"], rtol=1e-4)
     np.testing.assert_allclose(ha[-1]["train_loss"], hb[-1]["train_loss"], rtol=1e-3)
+
+
+def test_bfloat16_training(tiny_ds, tmp_path):
+    train_ds, test_ds = tiny_ds
+    cfg = _cfg("pointnet_cls", epochs=1, log_dir=str(tmp_path), dtype="bfloat16")
+    _, history = train(cfg, train_ds, test_ds, resume=False)
+    assert np.isfinite(history[-1]["train_loss"])
