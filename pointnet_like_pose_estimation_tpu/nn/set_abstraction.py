@@ -24,6 +24,7 @@ from pointnet_like_pose_estimation_tpu.ops import (
     sample_and_group,
     sample_and_group_all,
 )
+from pointnet_like_pose_estimation_tpu.ops.grouping import _grouping_impl
 
 Dtype = Any
 
@@ -85,14 +86,42 @@ class SetAbstractionMSG(nn.Module):
         """
         fps_idx = farthest_point_sample(points, self.num_centroids)
         centroids = index_points(points, fps_idx)
+        P = points.shape[-1]
+        use_pallas = _grouping_impl().startswith("pallas") and (
+            self.num_centroids % min(128, self.num_centroids) == 0
+        )
+        if use_pallas and features is not None:
+            cat = jnp.concatenate([points, features], axis=-1)
         outs = []
         for i, radius in enumerate(self.radius_list):
-            idx = query_ball_point(radius, self.num_neighbors_list[i], points, centroids)
-            grouped = index_points(points, idx) - centroids[:, :, None, :]
-            if features is not None:
-                gfeat = index_points(features, idx)
-                # reference order: [features, centered_coords] (pointnet2_utils.py:211)
-                grouped = jnp.concatenate([gfeat, grouped], axis=-1)
+            K = self.num_neighbors_list[i]
+            if use_pallas:
+                from pointnet_like_pose_estimation_tpu.kernels.ball_group import (
+                    ball_group_pallas,
+                )
+
+                impl = _grouping_impl()
+                g = ball_group_pallas(
+                    cat if features is not None else points,
+                    centroids,
+                    radius,
+                    K,
+                    min(128, self.num_centroids),
+                    impl == "pallas_interpret",
+                )
+                # reference order: [features, centered_coords]
+                # (pointnet2_utils.py:211)
+                grouped = (
+                    jnp.concatenate([g[..., P:], g[..., :P]], axis=-1)
+                    if features is not None
+                    else g
+                )
+            else:
+                idx = query_ball_point(radius, K, points, centroids)
+                grouped = index_points(points, idx) - centroids[:, :, None, :]
+                if features is not None:
+                    gfeat = index_points(features, idx)
+                    grouped = jnp.concatenate([gfeat, grouped], axis=-1)
             h = PointwiseMLP(self.mlp_list[i], dtype=self.dtype, name=f"mlp_{i}")(
                 grouped, train=train
             )

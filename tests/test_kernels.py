@@ -110,3 +110,25 @@ def test_sample_and_group_pallas_dispatch_matches_xla():
     finally:
         flags.set_impls(grouping="auto")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_msg_layer_pallas_dispatch_matches_xla():
+    import flax.linen  # noqa: F401
+    from pointnet_like_pose_estimation_tpu.kernels import flags
+    from pointnet_like_pose_estimation_tpu.nn import SetAbstractionMSG
+
+    rng = np.random.default_rng(8)
+    pts = jnp.asarray(rng.standard_normal((2, 256, 3)), jnp.float32)
+    feats = jnp.asarray(rng.standard_normal((2, 256, 6)), jnp.float32)
+    layer = SetAbstractionMSG(128, [8, 16], [0.4, 0.8], [[16, 32], [16, 32]])
+    variables = layer.init(jax.random.key(0), pts, feats, train=True)
+
+    flags.set_impls(grouping="xla")
+    try:
+        c_a, f_a = layer.apply(variables, pts, feats, train=False)
+        flags.set_impls(grouping="pallas_interpret")
+        c_b, f_b = layer.apply(variables, pts, feats, train=False)
+    finally:
+        flags.set_impls(grouping="auto")
+    np.testing.assert_allclose(np.asarray(c_a), np.asarray(c_b), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_a), np.asarray(f_b), rtol=1e-3, atol=1e-5)
