@@ -32,6 +32,9 @@ def _ball_group_kernel(
     out_ref,        # [1, 1, K, T, C] — K leading so the dynamic-k store hits
     #                 a non-tiled dimension (Mosaic constraint)
     idx_ref,        # [1, 1, K, T, 1] int32 — selected (post-pad) indices
+    sel_ref,        # [T, N] f32 scratch: 1.0 where already selected
+    first_ref,      # [T, N] f32 scratch: one-hot of slot 0 (pad source)
+    fidx_ref,       # [T, 1] i32 scratch: slot-0 index
     *,
     radius: float,
     num_neighbors: int,
@@ -60,28 +63,32 @@ def _ball_group_kernel(
     # with (3+num_category)-channel pose inputs) and leaves features alone
     cent_pad = jnp.pad(cent, ((0, 0), (0, C - P))) if C > P else cent
 
-    def body(k, carry):
-        selected, first_onehot, first_idx = carry
-        keys = jnp.where(in_ball & jnp.logical_not(selected), lane_idx, sentinel)
+    # loop state lives in VMEM scratch (Mosaic cannot legalize scf.for with
+    # large vector iter_args)
+    sel_ref[...] = jnp.zeros((T, N), jnp.float32)
+    first_ref[...] = jnp.zeros((T, N), jnp.float32)
+    fidx_ref[...] = jnp.zeros((T, 1), jnp.int32)
+
+    def body(k, _):
+        keys = jnp.where(in_ball & (sel_ref[...] == 0.0), lane_idx, sentinel)
         cur = jnp.min(keys, axis=-1, keepdims=True)           # [T, 1] lowest unused
         onehot = (lane_idx == cur).astype(jnp.float32)        # all-zero if empty
         # pad-with-first semantics: empty slot -> duplicate slot 0's point
         empty = cur == sentinel                               # [T, 1]
-        use = jnp.where(empty, first_onehot, onehot)
+        use = jnp.where(empty, first_ref[...], onehot)
         gathered = jnp.dot(use, pts, preferred_element_type=jnp.float32)  # [T, C]
         out_ref[0, 0, k] = gathered - cent_pad
-        first_idx = jnp.where(k == 0, cur, first_idx)
-        idx_ref[0, 0, k] = jnp.where(empty, first_idx, cur)   # used index (for VJP)
-        selected = selected | (onehot > 0)
-        first_onehot = jnp.where(k == 0, use, first_onehot)
-        return selected, first_onehot, first_idx
 
-    init = (
-        jnp.zeros((T, N), jnp.bool_),
-        jnp.zeros((T, N), jnp.float32),
-        jnp.zeros((T, 1), jnp.int32),
-    )
-    jax.lax.fori_loop(0, K, body, init)
+        @pl.when(k == 0)
+        def _():
+            first_ref[...] = use
+            fidx_ref[...] = cur
+
+        idx_ref[0, 0, k] = jnp.where(empty, fidx_ref[...], cur)  # used idx (VJP)
+        sel_ref[...] = jnp.maximum(sel_ref[...], onehot)
+        return 0
+
+    jax.lax.fori_loop(0, K, body, 0)
 
 
 @functools.partial(
@@ -115,6 +122,11 @@ def _ball_group_raw(points, centroids, *, radius, num_neighbors, tile, interpret
             jax.ShapeDtypeStruct((B, S // T, K, T, C), jnp.float32),
             jax.ShapeDtypeStruct((B, S // T, K, T, 1), jnp.int32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((T, N), jnp.float32),
+            pltpu.VMEM((T, N), jnp.float32),
+            pltpu.VMEM((T, 1), jnp.int32),
+        ],
         interpret=interpret,
     )(points.astype(jnp.float32), centroids.astype(jnp.float32))
     # [B, S/T, K, T, *] -> [B, S, K, *]

@@ -94,34 +94,54 @@ def build_state(cfg: TrainConfig, steps_per_epoch: int = 100):
     return spec, model, state
 
 
+def _pad_batch(batch: dict, batch_size: int) -> dict:
+    """Pad a tail batch to the full static batch size with a validity mask,
+    so evaluation compiles exactly one program."""
+    n = len(batch["labels"])
+    out = dict(batch)
+    out["valid"] = np.ones(batch_size, np.float32)
+    if n < batch_size:
+        pad = batch_size - n
+        for k, v in batch.items():
+            out[k] = np.concatenate([v, np.repeat(v[:1], pad, axis=0)])
+        out["valid"][n:] = 0.0
+    return out
+
+
 def evaluate(cfg: TrainConfig, state, ds: PoseDataset, eval_step=None) -> dict:
     """Full-split evaluation with the reference's metric conventions."""
     spec = get_model_spec(cfg.model)
     if eval_step is None:
         eval_step = make_eval_step(spec, cfg)
-    totals, n_batches = {}, 0
+    loss_sum, metric_sum, count = 0.0, 0.0, 0
     per_class_correct = np.zeros(cfg.num_classes)
     per_class_count = np.zeros(cfg.num_classes)
     per_class_err = np.zeros((cfg.num_classes, 3))
-    for batch in iter_batches(ds, cfg.batch_size, drop_last=False):
+    for raw in iter_batches(ds, cfg.batch_size, drop_last=False):
+        n_valid = len(raw["labels"])
+        batch = _pad_batch(raw, cfg.batch_size)
         out = jax.device_get(eval_step(state, {k: jnp.asarray(v) for k, v in batch.items()}))
-        totals["loss"] = totals.get("loss", 0.0) + float(out["loss"])
-        totals["metric"] = totals.get("metric", 0.0) + float(out["metric"])
-        n_batches += 1
-        labels = batch["labels"]
+        loss_sum += float(out["loss"]) * n_valid
+        metric_sum += float(out["metric"]) * n_valid
+        count += n_valid
+        labels = raw["labels"]
         if spec.task == "classify":
+            pred = out["pred"][:n_valid]
             for c in range(cfg.num_classes):
                 m = labels == c
-                per_class_correct[c] += (out["pred"][m] == c).sum()
+                per_class_correct[c] += (pred[m] == c).sum()
                 per_class_count[c] += m.sum()
         elif spec.task in ("rotation", "translation"):
-            target = batch["rot"] if spec.task == "rotation" else batch["tran"]
-            err = np.abs(out["pred"] - target)
+            target = raw["rot"] if spec.task == "rotation" else raw["tran"]
+            err = np.abs(out["pred"][:n_valid] - target)
             for c in range(cfg.num_classes):
                 m = labels == c
                 per_class_err[c] += err[m].sum(axis=0)
                 per_class_count[c] += m.sum()
-    result = {k: v / max(n_batches, 1) for k, v in totals.items()}
+    result = {
+        "loss": loss_sum / max(count, 1),
+        "metric": metric_sum / max(count, 1),
+    }
     seen = per_class_count > 0
     if spec.task == "classify":
         acc = per_class_correct[seen] / per_class_count[seen]

@@ -141,25 +141,49 @@ def make_eval_step(spec: ModelSpec, cfg: TrainConfig) -> Callable:
 
     @jax.jit
     def eval_step(state: PoseTrainState, batch: dict):
+        """Batches may carry a ``valid`` [B] mask (padded tail batches keep
+        one static shape -> one compile); loss/metric are weighted sums so
+        the caller can divide by the true sample count."""
+        valid = batch.get("valid")
+        if valid is None:
+            valid = jnp.ones_like(batch["labels"], jnp.float32)
         inputs, target = _prepare_inputs(spec, cfg, None, batch, train=False)
         outputs = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             *inputs,
             train=False,
         )
-        out = {
-            "loss": spec.loss(outputs, target, **loss_kw),
-            "metric": spec.metric(outputs, target),
-        }
+        w = valid / jnp.maximum(jnp.sum(valid), 1.0)
         if spec.task == "classify":
-            out["pred"] = outputs[2]
+            log_probs, _, pred = outputs
+            picked = jnp.take_along_axis(
+                log_probs, target[:, None].astype(jnp.int32), axis=1
+            )[:, 0]
+            loss = -jnp.sum(picked * w)
+            metric = jnp.sum((pred == target).astype(jnp.float32) * w)
+            out = {"loss": loss, "metric": metric, "pred": pred}
         elif spec.task == "sign":
-            out["pred"] = outputs[1][:, 0]
-            out["prob"] = outputs[0][:, 0]
+            prob, hard = outputs
+            t = jnp.where(target.reshape(prob.shape) > 0, 1.0, 0.0)
+            p = jnp.clip(prob, 1e-7, 1 - 1e-7)
+            loss = -jnp.sum(
+                (t * jnp.log(p) + (1 - t) * jnp.log(1 - p))[:, 0] * w
+            )
+            th = jnp.where(target.reshape(hard.shape) > 0, 1.0, -1.0)
+            metric = jnp.sum((hard == th)[:, 0].astype(jnp.float32) * w)
+            out = {"loss": loss, "metric": metric, "pred": hard[:, 0], "prob": prob[:, 0]}
         else:
-            out["pred"] = outputs
-            # per-axis |err| for rotation (deg) / translation (m)
-            out["abs_err"] = jnp.mean(jnp.abs(outputs - target), axis=0)
+            err = outputs - target
+            per = err * err if cfg.loss_kind == "L2_loss" else jnp.abs(err)
+            loss = jnp.sum(jnp.mean(per, axis=-1) * w)
+            scale = 100.0 if spec.task == "translation" else 1.0
+            metric = jnp.sum(jnp.mean(jnp.abs(err), axis=-1) * w) * scale
+            out = {
+                "loss": loss,
+                "metric": metric,
+                "pred": outputs,
+                "abs_err": jnp.sum(jnp.abs(err) * w[:, None], axis=0),
+            }
         return out
 
     return eval_step
