@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+import signal
 import time
 
 import flax.serialization
@@ -48,11 +49,19 @@ def _ckpt_dir(cfg: TrainConfig) -> str:
 
 
 def save_checkpoint(path: str, state, epoch: int, metric: float):
+    """Atomic full-state checkpoint; on a multi-host slice only process 0
+    writes (every process holds identical replicated state)."""
+    if jax.process_index() != 0:
+        return
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(flax.serialization.to_bytes(state))
-    with open(path + ".json", "w") as f:
+    with open(tmp + ".json", "w") as f:
         json.dump({"epoch": epoch, "metric": float(metric)}, f)
+    # rename data first: a reader that sees the .json can trust the payload
+    os.replace(tmp, path)
+    os.replace(tmp + ".json", path + ".json")
 
 
 def load_checkpoint(path: str, state):
@@ -92,6 +101,45 @@ def build_state(cfg: TrainConfig, steps_per_epoch: int = 100):
         example = (jnp.zeros((2, cfg.num_points, 3 + cfg.num_classes)), jnp.zeros((2, 3)))
     state = create_train_state(cfg, model, example, steps_per_epoch)
     return spec, model, state
+
+
+class PreemptionGuard:
+    """Graceful preemption: SIGTERM/SIGINT set a flag checked at batch and
+    epoch boundaries so the loop saves ``latest`` and exits cleanly — the
+    elastic-recovery piece the reference lacks entirely (its only recovery
+    is a bare try/except resume at startup, train_classification.py:41-48).
+    Restores previous handlers on exit; a second signal falls through to
+    the default handler (hard kill still possible)."""
+
+    def __init__(self, signals=(signal.SIGTERM, signal.SIGINT)):
+        self._signals = signals
+        self._previous = {}
+        self.preempted = False
+
+    def _handle(self, signum, frame):
+        if self.preempted:  # second signal: defer to the original handler
+            handler = self._previous.get(signum)
+            if callable(handler):
+                handler(signum, frame)
+            else:
+                signal.signal(signum, signal.SIG_DFL)
+                signal.raise_signal(signum)
+            return
+        self.preempted = True
+        log.warning("preemption signal %s: will checkpoint and exit", signum)
+
+    def __enter__(self):
+        for s in self._signals:
+            try:
+                self._previous[s] = signal.signal(s, self._handle)
+            except ValueError:  # non-main thread: run unguarded
+                pass
+        return self
+
+    def __exit__(self, *exc):
+        for s, h in self._previous.items():
+            signal.signal(s, h)
+        return False
 
 
 def _pad_batch(batch: dict, batch_size: int) -> dict:
@@ -219,44 +267,60 @@ def train(
     higher = _HIGHER_IS_BETTER[spec.task]
     history = []
     rng = np.random.default_rng(cfg.seed)
-    for epoch in range(start_epoch, cfg.epochs):
-        t0 = time.time()
-        train_loss, train_metric, n = 0.0, 0.0, 0
-        if epoch_runner is not None:
-            stacked = None
-            for batch in iter_batches(train_ds, cfg.batch_size, rng=rng):
-                if stacked is None:
-                    stacked = {k: [] for k in batch}
-                for k, v in batch.items():
-                    stacked[k].append(v)
-            batches = {k: jnp.asarray(np.stack(v)) for k, v in stacked.items()}
-            state, metrics = epoch_runner(state, batches)
-            n = len(next(iter(batches.values())))
-            train_loss = float(jnp.sum(metrics["loss"]))
-            train_metric = float(jnp.sum(metrics["metric"]))
-        else:
-            for batch in iter_batches(train_ds, cfg.batch_size, rng=rng):
-                state, metrics = train_step(state, put(batch))
-                train_loss += float(metrics["loss"])
-                train_metric += float(metrics["metric"])
-                n += 1
-        row = {
-            "epoch": epoch,
-            "train_loss": train_loss / max(n, 1),
-            "train_metric": train_metric / max(n, 1),
-            "seconds": time.time() - t0,
-        }
-        if test_ds is not None and len(test_ds):
-            row.update({f"test_{k}": v for k, v in evaluate(cfg, state, test_ds, eval_step).items()})
-            key = "test_instance_acc" if spec.task == "classify" else (
-                "test_metric" if spec.task == "sign" else "test_mean_err")
-            cur = row.get(key, row.get("test_metric"))
-            if best_metric is None or (cur > best_metric if higher else cur < best_metric):
-                best_metric = cur
-                save_checkpoint(os.path.join(ckpt, "best.msgpack"), state, epoch, cur)
-        save_checkpoint(latest, state, epoch, row.get("train_loss", 0.0))
-        history.append(row)
-        log.info("%s", row)
-    log.removeHandler(fh)
-    fh.close()
+    guard = PreemptionGuard()
+    guard.__enter__()
+    try:
+        for epoch in range(start_epoch, cfg.epochs):
+            t0 = time.time()
+            train_loss, train_metric, n = 0.0, 0.0, 0
+            if epoch_runner is not None:
+                stacked = None
+                for batch in iter_batches(train_ds, cfg.batch_size, rng=rng):
+                    if stacked is None:
+                        stacked = {k: [] for k in batch}
+                    for k, v in batch.items():
+                        stacked[k].append(v)
+                batches = {k: jnp.asarray(np.stack(v)) for k, v in stacked.items()}
+                state, metrics = epoch_runner(state, batches)
+                n = len(next(iter(batches.values())))
+                train_loss = float(jnp.sum(metrics["loss"]))
+                train_metric = float(jnp.sum(metrics["metric"]))
+            else:
+                for batch in iter_batches(train_ds, cfg.batch_size, rng=rng):
+                    if guard.preempted:
+                        break
+                    state, metrics = train_step(state, put(batch))
+                    train_loss += float(metrics["loss"])
+                    train_metric += float(metrics["metric"])
+                    n += 1
+            if guard.preempted:
+                # partial epoch: persist state tagged to the previous epoch so
+                # resume re-runs this epoch in full
+                save_checkpoint(latest, state, epoch - 1, 0.0)
+                log.warning("preempted during epoch %d; latest saved, exiting", epoch)
+                break
+            row = {
+                "epoch": epoch,
+                "train_loss": train_loss / max(n, 1),
+                "train_metric": train_metric / max(n, 1),
+                "seconds": time.time() - t0,
+            }
+            if test_ds is not None and len(test_ds):
+                row.update({f"test_{k}": v for k, v in evaluate(cfg, state, test_ds, eval_step).items()})
+                key = "test_instance_acc" if spec.task == "classify" else (
+                    "test_metric" if spec.task == "sign" else "test_mean_err")
+                cur = row.get(key, row.get("test_metric"))
+                if best_metric is None or (cur > best_metric if higher else cur < best_metric):
+                    best_metric = cur
+                    save_checkpoint(os.path.join(ckpt, "best.msgpack"), state, epoch, cur)
+            save_checkpoint(latest, state, epoch, row.get("train_loss", 0.0))
+            history.append(row)
+            log.info("%s", row)
+            if guard.preempted:
+                log.warning("preempted after epoch %d; exiting cleanly", epoch)
+                break
+    finally:
+        guard.__exit__()
+        log.removeHandler(fh)
+        fh.close()
     return state, history

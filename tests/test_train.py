@@ -128,6 +128,56 @@ def test_scan_epoch_matches_per_step(tiny_ds, tmp_path):
     np.testing.assert_allclose(ha[-1]["train_loss"], hb[-1]["train_loss"], rtol=1e-3)
 
 
+def test_preemption_guard_checkpoints_and_resumes(tiny_ds, tmp_path):
+    """SIGTERM mid-training saves ``latest`` and exits cleanly; a fresh call
+    resumes and completes the remaining epochs."""
+    import signal
+
+    train_ds, test_ds = tiny_ds
+    cfg = _cfg("pointnet_cls", epochs=4, log_dir=str(tmp_path), experiment="preempt")
+
+    from pointnet_like_pose_estimation_tpu.train import loop as loop_mod
+
+    orig = loop_mod.PreemptionGuard.__enter__
+
+    def enter_and_fire(self):
+        out = orig(self)
+        signal.raise_signal(signal.SIGTERM)  # delivered before first batch
+        return out
+
+    loop_mod.PreemptionGuard.__enter__ = enter_and_fire
+    try:
+        _, history = train(cfg, train_ds, test_ds, resume=False)
+    finally:
+        loop_mod.PreemptionGuard.__enter__ = orig
+    assert history == []  # preempted in epoch 0 -> no completed epochs
+    latest = tmp_path / "classification" / "preempt" / "checkpoints" / "latest.msgpack"
+    assert latest.exists()
+    assert (tmp_path / "classification" / "preempt" / "checkpoints" / "latest.msgpack.json").exists()
+    # handler restored after train() returned (not our guard's bound method)
+    handler = signal.getsignal(signal.SIGTERM)
+    assert getattr(handler, "__qualname__", "").startswith("PreemptionGuard") is False
+    # resume: re-runs from epoch 0 and completes all 4
+    _, history2 = train(cfg, train_ds, test_ds, resume=True)
+    assert [h["epoch"] for h in history2] == [0, 1, 2, 3]
+
+
+def test_checkpoint_write_is_atomic(tiny_ds, tmp_path):
+    """No .tmp residue after a save; payload+meta appear together."""
+    from pointnet_like_pose_estimation_tpu.train.loop import save_checkpoint
+
+    cfg = _cfg("pointnet_cls", epochs=1, log_dir=str(tmp_path))
+    _, _, state = build_state(cfg)
+    path = str(tmp_path / "ck" / "latest.msgpack")
+    save_checkpoint(path, state, 3, 0.5)
+    import os
+
+    assert os.path.exists(path) and os.path.exists(path + ".json")
+    assert not os.path.exists(path + ".tmp")
+    restored, meta = load_checkpoint(path, state)
+    assert meta == {"epoch": 3, "metric": 0.5}
+
+
 def test_bfloat16_training(tiny_ds, tmp_path):
     train_ds, test_ds = tiny_ds
     cfg = _cfg("pointnet_cls", epochs=1, log_dir=str(tmp_path), dtype="bfloat16")
