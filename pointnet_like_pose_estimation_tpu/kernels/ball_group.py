@@ -19,6 +19,7 @@ HBM traffic: one read of points/features/centroids, one write of the
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +32,8 @@ def _ball_group_kernel(
     cent_ref,       # [1, T, P]  centroid tile (P = coord/point channels)
     out_ref,        # [1, 1, K, T, C] — K leading so the dynamic-k store hits
     #                 a non-tiled dimension (Mosaic constraint)
-    idx_ref,        # [1, 1, K, T, 1] int32 — selected (post-pad) indices
+    idx_ref,        # [1, 1, K, T] int32 — selected (post-pad) indices; T in
+    #                 lanes so the block carries no 128x lane padding
     sel_ref,        # [T, N] f32 scratch: 1.0 where already selected
     first_ref,      # [T, N] f32 scratch: one-hot of slot 0 (pad source)
     fidx_ref,       # [T, 1] i32 scratch: slot-0 index
@@ -47,8 +49,11 @@ def _ball_group_kernel(
     xyz = pts[:, :P]                                          # [N, P] point chans
     cent = cent_ref[0]                                        # [T, P]
 
-    # squared distances [T, N] — inner product on the MXU
-    inner = jnp.dot(cent, xyz.T, preferred_element_type=jnp.float32)
+    # squared distances [T, N] — inner product on the MXU. HIGHEST precision:
+    # the default bf16 passes truncate coordinates, flipping in-ball
+    # membership at the radius boundary vs the XLA path
+    inner = jnp.dot(cent, xyz.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     d2 = (
         jnp.sum(cent * cent, axis=-1, keepdims=True)
         - 2.0 * inner
@@ -76,7 +81,8 @@ def _ball_group_kernel(
         # pad-with-first semantics: empty slot -> duplicate slot 0's point
         empty = cur == sentinel                               # [T, 1]
         use = jnp.where(empty, first_ref[...], onehot)
-        gathered = jnp.dot(use, pts, preferred_element_type=jnp.float32)  # [T, C]
+        gathered = jnp.dot(use, pts, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)  # [T, C]
         out_ref[0, 0, k] = gathered - cent_pad
 
         @pl.when(k == 0)
@@ -84,11 +90,37 @@ def _ball_group_kernel(
             first_ref[...] = use
             fidx_ref[...] = cur
 
-        idx_ref[0, 0, k] = jnp.where(empty, fidx_ref[...], cur)  # used idx (VJP)
+        idx_ref[0, 0, k] = jnp.where(empty, fidx_ref[...], cur).reshape(T)  # used idx (VJP)
         sel_ref[...] = jnp.maximum(sel_ref[...], onehot)
         return 0
 
     jax.lax.fori_loop(0, K, body, 0)
+
+
+def _pick_tile(N: int, C: int, S: int, K: int, max_tile: int) -> int:
+    """Largest divisor T of S (≤ max_tile) whose per-program working set fits
+    the scoped-VMEM budget (~16 MB/core on v5e; we target 12 MB to leave room
+    for Mosaic temporaries). Accounts for Mosaic tiling pads: last dim → 128
+    lanes, second-to-last → 8 sublanes, and double-buffered grid blocks."""
+    budget = int(os.environ.get("PLPE_BALLGROUP_VMEM_BUDGET", 12 * 2**20))
+    up = lambda x, m: -(-x // m) * m  # noqa: E731
+    Cp, Np = up(C, 128), up(N, 128)
+    t = min(max_tile, S)
+    while t > 8:
+        if S % t == 0:
+            Tp = up(t, 8)
+            blocks = 2 * 4 * (         # double-buffered f32 grid blocks
+                K * Tp * Cp            # out [K, T, C]
+                + K * up(t, 128)       # idx [K, T]
+                + up(N, 8) * Cp        # pts [N, C]
+                + Tp * 128             # centroid tile [T, P]
+            )
+            scratch = 4 * (2 * Tp * Np + Tp * 128)       # sel/first/fidx
+            work = 4 * 4 * Tp * Np                       # d2/keys/onehot temps
+            if blocks + scratch + work <= budget:
+                return t
+        t //= 2
+    return t
 
 
 @functools.partial(
@@ -97,9 +129,9 @@ def _ball_group_kernel(
 def _ball_group_raw(points, centroids, *, radius, num_neighbors, tile, interpret):
     B, N, C = points.shape
     _, S, P = centroids.shape
-    T = min(tile, S)
-    assert S % T == 0, (S, T)
     K = num_neighbors
+    T = _pick_tile(N, C, S, K, tile)
+    assert S % T == 0, (S, T)
 
     out, idx = pl.pallas_call(
         functools.partial(
@@ -115,12 +147,12 @@ def _ball_group_raw(points, centroids, *, radius, num_neighbors, tile, interpret
                 (1, 1, K, T, C), lambda b, s: (b, s, 0, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, K, T, 1), lambda b, s: (b, s, 0, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, K, T), lambda b, s: (b, s, 0, 0), memory_space=pltpu.VMEM
             ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, S // T, K, T, C), jnp.float32),
-            jax.ShapeDtypeStruct((B, S // T, K, T, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, S // T, K, T), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.VMEM((T, N), jnp.float32),
@@ -131,7 +163,7 @@ def _ball_group_raw(points, centroids, *, radius, num_neighbors, tile, interpret
     )(points.astype(jnp.float32), centroids.astype(jnp.float32))
     # [B, S/T, K, T, *] -> [B, S, K, *]
     out = jnp.swapaxes(out, 2, 3).reshape(B, S, K, C)
-    idx = jnp.swapaxes(idx[..., 0], 2, 3).reshape(B, S, K)
+    idx = jnp.swapaxes(idx, 2, 3).reshape(B, S, K)
     return out, idx
 
 

@@ -2,12 +2,20 @@
 
 FPS is the sequential hot spot of every set-abstraction layer (SURVEY §3.3:
 a 512-iteration loop whose every step depends on the argmax of the running
-min-distance vector — reference pointnet2_utils.py:47-68). The kernel keeps
-the ENTIRE loop state on-chip: one grid program per cloud holds the [3, N]
-coordinates (points on the lane axis — 8x128 tiles, ~32 KB for N=4096) and
-the [1, N] min-distance vector in VMEM for all S iterations, so HBM traffic
-is exactly one read of the cloud and one write of the S indices, instead of
-S round-trips.
+min-distance vector — reference pointnet2_utils.py:47-68). The iterations
+cannot be parallelized, so the kernel widens each one instead: a whole TILE
+of batch rows advances together, with the full loop state on-chip —
+coordinates [Bt, C, N], the running min-distance matrix [Bt, N], and the
+per-row current-farthest vector all live in VMEM across the S iterations.
+HBM traffic is one read of the clouds and one write of the [B, S] indices,
+and every VPU op is a dense [Bt, N] tile (sublanes × lanes) instead of the
+[1, N] stripe a per-cloud kernel would process (the Pallas TPU grid is
+sequential on a core, so batch-parallelism must come from within the block).
+
+The per-row centroid gather (points[b, :, farthest[b]]) is a lane-mask
+multiply + reduce: Mosaic cannot legalize dynamic lane slices (128-aligned
+offsets only), and the mask form is O(C·N) — the same cost as the distance
+step itself.
 
 Numerics match ops.sampling.farthest_point_sample exactly (same argmax
 tie-breaking: first index wins), so the two are interchangeable and golden-
@@ -24,28 +32,47 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fps_kernel(start_ref, points_ref, idx_ref, dist_ref, *, num_samples: int):
-    """One program = one cloud. points_ref: [1, C, N]; idx_ref: [1, 1, S]
-    (leading singleton keeps the block's trailing dims tile-aligned);
-    start_ref: the full [B] start-index vector in SMEM (scalar-prefetch)."""
-    N = points_ref.shape[-1]
-    S = idx_ref.shape[-1]
-    b = pl.program_id(0)
-    dist_ref[...] = jnp.full((1, N), 1e10, dtype=jnp.float32)
-    slot = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+def _fps_kernel(
+    start_ref,      # [B] i32 in SMEM (scalar-prefetch): per-cloud start index
+    points_ref,     # [Bt, C, N] f32 in VMEM
+    idx_ref,        # [Bt, S] i32 out
+    dist_ref,       # [Bt, N] f32 scratch: running min distance
+    far_ref,        # [Bt, 1] i32 scratch: current farthest per row
+    *,
+    num_samples: int,
+    tile: int,
+):
+    C, N = points_ref.shape[1], points_ref.shape[2]
+    S = num_samples
+    Bt = tile
+    g = pl.program_id(0)
 
-    def body(i, farthest):
-        # vector write of slot i (Mosaic cannot store scalars to VMEM)
-        idx_ref[0] = jnp.where(slot == i, farthest, idx_ref[0])
-        # centroid = points[:, farthest]  (dynamic lane slice, stays in VMEM)
-        centroid = points_ref[0, :, pl.ds(farthest, 1)]       # [3, 1]
-        diff = points_ref[0, :, :] - centroid                 # [3, N]
-        d = jnp.sum(diff * diff, axis=0, keepdims=True)       # [1, N]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Bt, N), 1)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (Bt, S), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (Bt, 1), 0)
+
+    dist_ref[...] = jnp.full((Bt, N), 1e10, dtype=jnp.float32)
+    # per-row start index from the prefetched vector
+    starts = jnp.zeros((Bt, 1), jnp.int32)
+    for r in range(Bt):
+        starts = jnp.where(row == r, start_ref[g * Bt + r], starts)
+    far_ref[...] = starts
+
+    def body(i, _):
+        far = far_ref[...]                                    # [Bt, 1]
+        idx_ref[...] = jnp.where(slot == i, far, idx_ref[...])
+        mask = (lane == far).astype(jnp.float32)              # [Bt, N]
+        d = jnp.zeros((Bt, N), jnp.float32)
+        for c in range(C):                                    # C static (=3)
+            ch = points_ref[:, c, :]                          # [Bt, N]
+            centroid = jnp.sum(ch * mask, axis=1, keepdims=True)
+            d = d + (ch - centroid) ** 2
         new_dist = jnp.minimum(dist_ref[...], d)
         dist_ref[...] = new_dist
-        return jnp.argmax(new_dist[0, :]).astype(jnp.int32)
+        far_ref[...] = jnp.argmax(new_dist, axis=1, keepdims=True).astype(jnp.int32)
+        return 0
 
-    jax.lax.fori_loop(0, num_samples, body, start_ref[b])
+    jax.lax.fori_loop(0, S, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("num_samples", "interpret"))
@@ -59,7 +86,7 @@ def fps_pallas(
     """Drop-in Pallas replacement for ops.farthest_point_sample.
 
     Args:
-      points: [B, N, C] clouds (C<=8; only coordinates are used).
+      points: [B, N, C] clouds (C small; only coordinates are used).
       num_samples: S (static).
       start_idx: optional [B] int32 initial centroid (default 0).
       interpret: run in interpreter mode (CPU tests).
@@ -70,25 +97,32 @@ def fps_pallas(
     B, N, C = points.shape
     if start_idx is None:
         start_idx = jnp.zeros((B,), jnp.int32)
-    # lanes-major layout: [B, C, N]
-    pts = jnp.swapaxes(points.astype(jnp.float32), 1, 2)
+    # whole batch in one program when it fits; otherwise row tiles. State per
+    # row ≈ (C+1)·N·4 bytes -> 16 KB at N=1024, so 256 rows stay under 4 MB.
+    tile = B
+    max_rows = max(1, (4 * 2**20) // ((C + 1) * N * 4))
+    while tile > max_rows or B % tile:
+        tile -= 1
+    pts = jnp.swapaxes(points.astype(jnp.float32), 1, 2)      # [B, C, N]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # start indices land in SMEM, whole vector
-        grid=(B,),
+        grid=(B // tile,),
         in_specs=[
-            # index_map args: (grid index, scalar-prefetch ref)
-            pl.BlockSpec((1, C, N), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, C, N), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, num_samples), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
+            (tile, num_samples), lambda i, s: (i, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((1, N), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((tile, N), jnp.float32),
+            pltpu.VMEM((tile, 1), jnp.int32),
+        ],
     )
     out = pl.pallas_call(
-        functools.partial(_fps_kernel, num_samples=num_samples),
+        functools.partial(_fps_kernel, num_samples=num_samples, tile=tile),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, 1, num_samples), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, num_samples), jnp.int32),
         interpret=interpret,
     )(start_idx.astype(jnp.int32), pts)
-    return out[:, 0, :]
+    return out

@@ -48,6 +48,19 @@ def farthest_point_sample(
     else:
         start = jnp.broadcast_to(jnp.asarray(start_idx, jnp.int32), (B,))
 
+    from pointnet_like_pose_estimation_tpu.kernels.flags import fps_impl
+
+    impl = fps_impl()
+    if impl.startswith("pallas"):
+        from pointnet_like_pose_estimation_tpu.kernels.fps import fps_pallas
+
+        # indices are non-differentiable; stop_gradient keeps tangents
+        # symbolically zero so pallas_call's (missing) JVP rule is never hit
+        return fps_pallas(
+            jax.lax.stop_gradient(points), S, start_idx=start,
+            interpret=impl == "pallas_interpret",
+        )
+
     def body(i, carry):
         dist, farthest, idx_out = carry
         idx_out = idx_out.at[:, i].set(farthest)

@@ -132,3 +132,33 @@ def test_msg_layer_pallas_dispatch_matches_xla():
         flags.set_impls(grouping="auto")
     np.testing.assert_allclose(np.asarray(c_a), np.asarray(c_b), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(f_a), np.asarray(f_b), rtol=1e-3, atol=1e-5)
+
+
+def test_fps_dispatch_matches_xla_and_is_differentiable():
+    """ops.farthest_point_sample routed to the Pallas kernel gives identical
+    indices, and gradients flow through a downstream gather (the kernel
+    itself is behind stop_gradient — indices carry no tangent)."""
+    from pointnet_like_pose_estimation_tpu.kernels import flags
+    from pointnet_like_pose_estimation_tpu.ops import (
+        farthest_point_sample,
+        index_points,
+    )
+
+    rng = np.random.default_rng(9)
+    pts = jnp.asarray(rng.standard_normal((3, 200, 3)), jnp.float32)
+
+    flags.set_impls(fps="xla")
+    try:
+        want = farthest_point_sample(pts, 64)
+        flags.set_impls(fps="pallas_interpret")
+        got = farthest_point_sample(pts, 64)
+
+        def loss(p):
+            idx = farthest_point_sample(p, 64)
+            return jnp.sum(index_points(p, idx) ** 2)
+
+        g = jax.grad(loss)(pts)
+    finally:
+        flags.set_impls(fps="auto")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.linalg.norm(g)) > 0
