@@ -11,9 +11,14 @@
 // radius_counts(): #neighbors within radius per point (excl. self), the
 //   kernel behind remove_radius_outlier (collect.py:92-102).
 
+#include <atomic>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cmath>
 #include <cstring>
+#include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -119,6 +124,67 @@ void pc_radius_counts(const double* pts, int32_t n, double radius,
     neighbors_of(pts, grid, radius, i, scratch);
     counts_out[i] = static_cast<int32_t>(scratch.size()) - 1;
   }
+}
+
+// pc_load_csv_files: threaded bulk reader for the reference's on-disk sample
+// layout (data/<cat>/<cat>_NNNN.txt, comma-separated floats one point per
+// line — data_build/Cube.py:90-100). The torch pipeline covered this cost
+// with DataLoader(num_workers=10) (train_classification.py:195-196); here a
+// worker pool parses straight into the caller's float32 buffer.
+//
+//   paths:    null-separated path strings, n_files of them
+//   out:      float32[n_files, max_rows, cols]
+//   rows_out: int32[n_files] = parsed row count, or -1 on open/parse failure
+//
+// Returns the number of failed files. Rows beyond max_rows are skipped;
+// short rows are zero-padded.
+int32_t pc_load_csv_files(const char* paths, int32_t n_files, int32_t max_rows,
+                          int32_t cols, float* out, int32_t* rows_out,
+                          int32_t n_threads) {
+  std::vector<const char*> starts;
+  starts.reserve(n_files);
+  const char* p = paths;
+  for (int32_t i = 0; i < n_files; ++i) {
+    starts.push_back(p);
+    p += std::strlen(p) + 1;
+  }
+  std::atomic<int32_t> next(0), failed(0);
+  auto worker = [&]() {
+    std::string buf;
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n_files) return;
+      FILE* f = std::fopen(starts[i], "rb");
+      if (!f) { rows_out[i] = -1; ++failed; continue; }
+      std::fseek(f, 0, SEEK_END);
+      long sz = std::ftell(f);
+      std::fseek(f, 0, SEEK_SET);
+      buf.resize(static_cast<size_t>(sz));
+      size_t got = sz ? std::fread(&buf[0], 1, static_cast<size_t>(sz), f) : 0;
+      std::fclose(f);
+      buf.resize(got);
+      float* row = out + static_cast<int64_t>(i) * max_rows * cols;
+      std::memset(row, 0, sizeof(float) * max_rows * cols);
+      int32_t r = 0, c = 0;
+      const char* s = buf.c_str();
+      const char* end = s + buf.size();
+      while (s < end && r < max_rows) {
+        char* after = nullptr;
+        float v = std::strtof(s, &after);
+        if (after == s) { ++s; continue; }  // skip separators/garbage
+        row[static_cast<int64_t>(r) * cols + c] = v;
+        if (++c == cols) { c = 0; ++r; }
+        s = after;
+      }
+      rows_out[i] = r;
+    }
+  };
+  int32_t nt = n_threads > 0 ? n_threads : 1;
+  std::vector<std::thread> pool;
+  for (int32_t t = 1; t < nt; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+  return failed.load();
 }
 
 }  // extern "C"

@@ -16,6 +16,7 @@ from pointnet_like_pose_estimation_tpu.data.dataset import (
     build_dataset,
     iter_batches,
     load_dataset,
+    load_reference_layout,
 )
 from pointnet_like_pose_estimation_tpu.data import augment
 
@@ -33,5 +34,6 @@ __all__ = [
     "build_dataset",
     "iter_batches",
     "load_dataset",
+    "load_reference_layout",
     "augment",
 ]

@@ -156,6 +156,89 @@ def load_dataset(src: str | dict, split: str = "train") -> PoseDataset:
     )
 
 
+def load_reference_layout(
+    root: str,
+    split: str = "train",
+    *,
+    num_points: int = 1024,
+    categories: list[str] | None = None,
+    rng: np.random.Generator | None = None,
+    max_file_points: int = 2048,
+) -> PoseDataset:
+    """Load a dataset stored in the reference's txt-per-cloud tree
+    (``<root>/<cat>/<cat>_NNNN.txt`` + ``_rot``/``_tran`` — ModelDataLoader.py
+    :60-91) straight into a PoseDataset.
+
+    Bulk parsing goes through the native thread pool
+    (native/pcnative.cpp pc_load_csv_files — the stand-in for the reference's
+    ``DataLoader(num_workers=10)`` host parallelism) with a numpy fallback.
+    Clouds are random-sampled to ``num_points`` without replacement
+    (ModelDataLoader.py:86) and the sign convention is applied
+    (:88-89: ``sign = sign(rot_z)``, ``rot_z = |rot_z|``).
+    """
+    import glob as _glob
+
+    from pointnet_like_pose_estimation_tpu.pipeline import native_dbscan
+
+    categories = categories or CATEGORIES
+    rng = rng or np.random.default_rng(0)
+    pt_paths, rot_paths, tran_paths, labels = [], [], [], []
+    for ci, cat in enumerate(categories):
+        stems = sorted(
+            p[: -len(".txt")]
+            for p in _glob.glob(os.path.join(root, cat, f"{cat}_*.txt"))
+            if not p.endswith(("_rot.txt", "_tran.txt"))
+        )
+        n_train = _split_count(len(stems))
+        keep = stems[:n_train] if split == "train" else stems[n_train:]
+        pt_paths += [s + ".txt" for s in keep]
+        rot_paths += [s + "_rot.txt" for s in keep]
+        tran_paths += [s + "_tran.txt" for s in keep]
+        labels += [ci] * len(keep)
+    if not pt_paths:
+        raise FileNotFoundError(f"no reference-layout samples under {root}")
+
+    def _bulk(paths: list[str], max_rows: int, cols: int):
+        native = native_dbscan.load_csv_files(paths, max_rows, cols)
+        if native is not None:
+            vals, rows = native
+            if (rows < 0).any():
+                bad = [p for p, r in zip(paths, rows) if r < 0]
+                raise FileNotFoundError(f"unreadable sample files: {bad[:3]}...")
+            return vals, rows
+        vals = np.zeros((len(paths), max_rows, cols), np.float32)
+        rows = np.zeros((len(paths),), np.int32)
+        for i, p in enumerate(paths):
+            a = np.loadtxt(p, delimiter=",", dtype=np.float32).reshape(-1, cols)
+            rows[i] = min(len(a), max_rows)
+            vals[i, : rows[i]] = a[: rows[i]]
+        return vals, rows
+
+    raw, counts = _bulk(pt_paths, max_file_points, 3)
+    rot = _bulk(rot_paths, 1, 3)[0][:, 0]
+    tran = _bulk(tran_paths, 1, 3)[0][:, 0]
+    # random-sample (without replacement) each cloud to num_points
+    points = np.empty((len(raw), num_points, 3), np.float32)
+    for i in range(len(raw)):
+        n = int(counts[i])
+        sel = (
+            rng.choice(n, num_points, replace=False)
+            if n >= num_points
+            else rng.choice(max(n, 1), num_points, replace=True)
+        )
+        points[i] = raw[i, sel]
+    sign = np.sign(rot[:, 2]).astype(np.float32)
+    rot = rot.copy()
+    rot[:, 2] = np.abs(rot[:, 2])
+    return PoseDataset(
+        points=points,
+        labels=np.asarray(labels, np.int32),
+        rot=rot,
+        tran=tran,
+        sign=sign,
+    )
+
+
 def iter_batches(
     ds: PoseDataset,
     batch_size: int,

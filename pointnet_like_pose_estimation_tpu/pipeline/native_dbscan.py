@@ -33,7 +33,8 @@ def _load():
     try:
         if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC],
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+                 "-o", _SO, _SRC],
                 check=True,
                 capture_output=True,
             )
@@ -52,6 +53,16 @@ def _load():
             ctypes.c_int32,
             ctypes.c_double,
             ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.pc_load_csv_files.restype = ctypes.c_int32
+        lib.pc_load_csv_files.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
         ]
         _lib = lib
     except Exception:
@@ -74,6 +85,35 @@ def dbscan(xyz: np.ndarray, eps: float, min_points: int) -> np.ndarray | None:
         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return labels
+
+
+def load_csv_files(
+    paths: list[str], max_rows: int, cols: int, n_threads: int = 0
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Bulk-parse CSV float files with the native thread pool.
+
+    Returns ``(values [n, max_rows, cols] float32, rows [n] int32)`` where
+    ``rows[i] == -1`` marks an unreadable file, or None when the native
+    library is unavailable (callers fall back to numpy parsing).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(paths)
+    blob = b"\0".join(p.encode() for p in paths) + b"\0"
+    out = np.empty((n, max_rows, cols), dtype=np.float32)
+    rows = np.empty((n,), dtype=np.int32)
+    nt = n_threads or min(os.cpu_count() or 1, 16)
+    lib.pc_load_csv_files(
+        blob,
+        n,
+        int(max_rows),
+        int(cols),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        int(nt),
+    )
+    return out, rows
 
 
 def radius_counts(xyz: np.ndarray, radius: float) -> np.ndarray | None:

@@ -106,3 +106,55 @@ endsolid test
     tris = load_stl(str(p))
     assert tris.shape == (1, 3, 3)
     np.testing.assert_allclose(tris[0], [[0, 0, 0], [1, 0, 0], [0, 1, 0]])
+
+
+def test_native_csv_loader_matches_numpy(tmp_path):
+    """pc_load_csv_files parses the reference txt layout identically to
+    numpy; unreadable files are flagged with -1 rows."""
+    from pointnet_like_pose_estimation_tpu.data.io_utils import save_reference_layout
+    from pointnet_like_pose_estimation_tpu.pipeline import native_dbscan
+
+    rng = np.random.default_rng(3)
+    for i in range(1, 6):
+        save_reference_layout(
+            str(tmp_path), "cube", i, rng.standard_normal((64, 3)), [1, 2, 3], [4, 5, 6]
+        )
+    paths = [str(tmp_path / "cube" / f"cube_{i:04d}.txt") for i in range(1, 6)]
+    res = native_dbscan.load_csv_files(paths, 64, 3)
+    if res is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    vals, rows = res
+    assert (rows == 64).all()
+    ref = np.stack([np.loadtxt(p, delimiter=",", dtype=np.float32) for p in paths])
+    np.testing.assert_allclose(vals, ref, atol=1e-6)
+    vals2, rows2 = native_dbscan.load_csv_files(paths + [str(tmp_path / "nope.txt")], 64, 3)
+    assert rows2[-1] == -1
+
+
+def test_load_reference_layout_dataset(tmp_path):
+    """End-to-end: txt tree -> PoseDataset with the reference split ratio,
+    random-sample-to-N, and the sign convention (ModelDataLoader.py:86-89)."""
+    from pointnet_like_pose_estimation_tpu.data import load_reference_layout
+    from pointnet_like_pose_estimation_tpu.data.io_utils import save_reference_layout
+
+    rng = np.random.default_rng(4)
+    for cat in ["cube", "cylinder"]:
+        for i in range(1, 9):
+            save_reference_layout(
+                str(tmp_path), cat, i, rng.standard_normal((128, 3)),
+                rot=[10.0, -5.0, -30.0 if i % 2 else 20.0], tran=[0.1, 0.2, 0.3],
+            )
+    train = load_reference_layout(
+        str(tmp_path), "train", num_points=32, categories=["cube", "cylinder"]
+    )
+    test = load_reference_layout(
+        str(tmp_path), "test", num_points=32, categories=["cube", "cylinder"]
+    )
+    # 6001/8000 ratio on 8 files/class -> 6 train / 2 test per class
+    assert len(train) == 12 and len(test) == 4
+    assert train.points.shape == (12, 32, 3)
+    assert set(np.unique(train.labels)) == {0, 1}
+    assert (train.rot[:, 2] >= 0).all()
+    assert set(np.unique(train.sign)) <= {-1.0, 1.0}
