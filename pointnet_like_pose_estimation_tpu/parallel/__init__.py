@@ -7,6 +7,9 @@ from pointnet_like_pose_estimation_tpu.parallel.mesh import (
     replicate,
     shard_batch,
 )
+from pointnet_like_pose_estimation_tpu.parallel.sharded_ops import (
+    sharded_farthest_point_sample,
+)
 from pointnet_like_pose_estimation_tpu.parallel.train_parallel import (
     make_parallel_train_step,
 )
@@ -17,4 +20,5 @@ __all__ = [
     "replicate",
     "shard_batch",
     "make_parallel_train_step",
+    "sharded_farthest_point_sample",
 ]

@@ -86,3 +86,41 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_fps_matches_single_device():
+    """Distributed FPS over a sharded N axis returns identical indices to
+    the single-device op, on 1-D and 2-D meshes (global argmax + centroid
+    broadcast via collectives)."""
+    import numpy as np
+
+    from pointnet_like_pose_estimation_tpu.ops import farthest_point_sample
+    from pointnet_like_pose_estimation_tpu.parallel import (
+        make_mesh,
+        sharded_farthest_point_sample,
+    )
+
+    pts = jax.random.normal(jax.random.PRNGKey(0), (4, 512, 3))
+    ref = np.asarray(farthest_point_sample(pts, 128))
+    for axes in ({"points": 8}, {"data": 2, "points": 4}):
+        mesh = make_mesh(axes)
+        got = np.asarray(sharded_farthest_point_sample(pts, 128, mesh))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_sharded_fps_respects_start_idx():
+    import numpy as np
+
+    from pointnet_like_pose_estimation_tpu.ops import farthest_point_sample
+    from pointnet_like_pose_estimation_tpu.parallel import (
+        make_mesh,
+        sharded_farthest_point_sample,
+    )
+
+    pts = jax.random.normal(jax.random.PRNGKey(1), (2, 256, 3))
+    start = jnp.asarray([17, 201], jnp.int32)
+    ref = np.asarray(farthest_point_sample(pts, 64, start_idx=start))
+    got = np.asarray(
+        sharded_farthest_point_sample(pts, 64, make_mesh({"points": 8}), start_idx=start)
+    )
+    np.testing.assert_array_equal(got, ref)
