@@ -41,6 +41,10 @@ class PoseDataset:
     rot:    [M, 3] float32 Euler degrees, z-component absolute
     tran:   [M, 3] float32 meters
     sign:   [M] float32 sign of the original z Euler angle (±1 or 0)
+    width:  [M] float32 grasp width in meters — smallest horizontal extent of
+            the axis-aligned surface (where a parallel gripper closes). The
+            reference's width head (model/width.py) never had a training
+            target (the loader 5-tuple carries none); this completes it.
     """
 
     points: np.ndarray
@@ -48,6 +52,11 @@ class PoseDataset:
     rot: np.ndarray
     tran: np.ndarray
     sign: np.ndarray
+    width: np.ndarray | None = None
+
+    def __post_init__(self):
+        if self.width is None:
+            self.width = np.zeros((len(self.labels),), np.float32)
 
     def __len__(self) -> int:
         return len(self.labels)
@@ -97,13 +106,17 @@ def build_dataset(
     Returns the npz path if ``path`` given, else the raw field dict.
     """
     rng = np.random.default_rng(seed)
-    all_pts, labels, rots, trans = [], [], [], []
+    all_pts, labels, rots, trans, widths = [], [], [], [], []
     for label, cat in enumerate(categories):
         dense, params = [], []
         for _ in range(num_per_class):
             p = generators.sample_category_params(cat, rng)
             dense.append(generators.dense_surface(p))
             params.append(p)
+            # grasp width: smallest horizontal extent of the axis-aligned
+            # surface (parallel-gripper closing span); cube -> side,
+            # cylinder -> diameter
+            widths.append(float(np.ptp(dense[-1][:, :2], axis=0).min()))
         sampled = _batched_fps(dense, n_points)              # [n, N, 3] axis-aligned
         for i, p in enumerate(params):
             ang = np.radians([p["phi"], p["theta"], p["psi"]])
@@ -122,6 +135,7 @@ def build_dataset(
         "labels": np.asarray(labels, np.int32),
         "rot": np.asarray(rots, np.float32),
         "tran": np.asarray(trans, np.float32),
+        "width": np.asarray(widths, np.float32),
         "num_per_class": np.asarray(num_per_class),
     }
     if path is not None:
@@ -147,12 +161,18 @@ def load_dataset(src: str | dict, split: str = "train") -> PoseDataset:
     rot = data["rot"][keep].copy()
     sign = np.sign(rot[:, 2]).astype(np.float32)
     rot[:, 2] = np.abs(rot[:, 2])
+    width = (
+        data["width"][keep]
+        if "width" in data
+        else np.zeros((int(keep.sum()),), np.float32)
+    )
     return PoseDataset(
         points=data["points"][keep],
         labels=data["labels"][keep],
         rot=rot,
         tran=data["tran"][keep],
         sign=sign,
+        width=width,
     )
 
 
@@ -262,4 +282,5 @@ def iter_batches(
             "rot": ds.rot[sel],
             "tran": ds.tran[sel],
             "sign": ds.sign[sel],
+            "width": ds.width[sel][:, None],
         }

@@ -183,3 +183,20 @@ def test_bfloat16_training(tiny_ds, tmp_path):
     cfg = _cfg("pointnet_cls", epochs=1, log_dir=str(tmp_path), dtype="bfloat16")
     _, history = train(cfg, train_ds, test_ds, resume=False)
     assert np.isfinite(history[-1]["train_loss"])
+
+
+def test_width_head_trains_on_derived_targets(tmp_path):
+    """Width targets (smallest horizontal extent) exist in generated data and
+    the width head trains on them — completing the reference's untrainable
+    width model (it has no train_width.py and no loader field)."""
+    from pointnet_like_pose_estimation_tpu.data import build_dataset, load_dataset
+    from pointnet_like_pose_estimation_tpu.data.generators import CATEGORIES
+
+    fields = build_dataset(8, seed=1, n_points=64, categories=CATEGORIES[:2])
+    assert "width" in fields and (fields["width"] > 0).all()
+    train_ds = load_dataset(fields, "train")
+    test_ds = load_dataset(fields, "test")
+    assert (train_ds.width > 0).all()
+    cfg = _cfg("width", num_classes=2, epochs=3, log_dir=str(tmp_path), batch_size=4)
+    _, history = train(cfg, train_ds, test_ds, resume=False)
+    assert history[-1]["train_loss"] < history[0]["train_loss"]
