@@ -16,6 +16,7 @@ checkpoint exists.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import logging
 import os
@@ -251,6 +252,9 @@ def train(
     # (train_classification.py:178-186) layout log/<task>/<exp>/logs/
     logs_dir = os.path.join(os.path.dirname(ckpt), "logs")
     os.makedirs(logs_dir, exist_ok=True)
+    if jax.process_index() == 0:  # reproducibility record
+        with open(os.path.join(os.path.dirname(ckpt), "config.json"), "w") as f:
+            json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
     fh = logging.FileHandler(os.path.join(logs_dir, f"{cfg.model}.log"))
     fh.setFormatter(logging.Formatter("%(asctime)s %(message)s"))
     log.addHandler(fh)
@@ -323,4 +327,7 @@ def train(
         guard.__exit__()
         log.removeHandler(fh)
         fh.close()
+        if history and jax.process_index() == 0:  # machine-readable curves
+            with open(os.path.join(os.path.dirname(ckpt), "history.json"), "w") as f:
+                json.dump(history, f, indent=2)
     return state, history

@@ -200,3 +200,16 @@ def test_width_head_trains_on_derived_targets(tmp_path):
     cfg = _cfg("width", num_classes=2, epochs=3, log_dir=str(tmp_path), batch_size=4)
     _, history = train(cfg, train_ds, test_ds, resume=False)
     assert history[-1]["train_loss"] < history[0]["train_loss"]
+
+
+def test_experiment_records_config_and_history(tiny_ds, tmp_path):
+    train_ds, test_ds = tiny_ds
+    cfg = _cfg("pointnet_cls", epochs=2, log_dir=str(tmp_path), experiment="rec")
+    _, history = train(cfg, train_ds, test_ds, resume=False)
+    import json
+
+    exp = tmp_path / "classification" / "rec"
+    saved_cfg = json.load(open(exp / "config.json"))
+    assert saved_cfg["model"] == "pointnet_cls" and saved_cfg["epochs"] == 2
+    saved_hist = json.load(open(exp / "history.json"))
+    assert [h["epoch"] for h in saved_hist] == [0, 1]
