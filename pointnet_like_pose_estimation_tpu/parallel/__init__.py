@@ -10,15 +10,25 @@ from pointnet_like_pose_estimation_tpu.parallel.mesh import (
 from pointnet_like_pose_estimation_tpu.parallel.sharded_ops import (
     sharded_farthest_point_sample,
 )
+from pointnet_like_pose_estimation_tpu.parallel.tensor_parallel import (
+    count_sharded,
+    shard_state_tp,
+    tensor_parallel_shardings,
+    tensor_parallel_specs,
+)
 from pointnet_like_pose_estimation_tpu.parallel.train_parallel import (
     make_parallel_train_step,
 )
 
 __all__ = [
     "batch_sharding",
+    "count_sharded",
     "make_mesh",
     "replicate",
     "shard_batch",
+    "shard_state_tp",
     "make_parallel_train_step",
     "sharded_farthest_point_sample",
+    "tensor_parallel_shardings",
+    "tensor_parallel_specs",
 ]

@@ -26,8 +26,23 @@ from pointnet_like_pose_estimation_tpu.train.state import PoseTrainState
 from pointnet_like_pose_estimation_tpu.train.steps import _loss_kwargs, _prepare_inputs
 
 
-def make_parallel_train_step(spec: ModelSpec, cfg: TrainConfig, mesh: Mesh) -> Callable:
-    """Jitted DP train step with explicit in/out shardings over ``mesh``."""
+def make_parallel_train_step(
+    spec: ModelSpec,
+    cfg: TrainConfig,
+    mesh: Mesh,
+    *,
+    tp_axis: str | None = None,
+    state: PoseTrainState | None = None,
+) -> Callable:
+    """Jitted DP(+TP) train step with explicit in/out shardings over ``mesh``.
+
+    With ``tp_axis`` set (a mesh axis name, conventionally ``'model'``), the
+    wide MLP/FC kernels, their biases/BN parameters, and the matching
+    optimizer moments additionally shard over that axis
+    (parallel/tensor_parallel.py); place the state with ``shard_state_tp``
+    before stepping. XLA emits the row-parallel psums and the DP gradient
+    all-reduce from the sharding annotations alone.
+    """
     loss_kw = _loss_kwargs(spec, cfg)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
@@ -55,9 +70,23 @@ def make_parallel_train_step(spec: ModelSpec, cfg: TrainConfig, mesh: Mesh) -> C
         metrics = {"loss": loss, "metric": spec.metric(outputs, target)}
         return state, metrics
 
+    if tp_axis is None:
+        return jax.jit(
+            step,
+            in_shardings=(repl, data),
+            out_shardings=(repl, repl),
+            donate_argnums=0,
+        )
+    if state is None:
+        raise ValueError("tp_axis requires a sample `state` to derive shardings")
+    from pointnet_like_pose_estimation_tpu.parallel.tensor_parallel import (
+        tensor_parallel_shardings,
+    )
+
+    state_sh = tensor_parallel_shardings(state, mesh, axis=tp_axis)
     return jax.jit(
         step,
-        in_shardings=(repl, data),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, data),
+        out_shardings=(state_sh, repl),
         donate_argnums=0,
     )

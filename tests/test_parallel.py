@@ -74,6 +74,58 @@ def test_dp_step_multiple_models():
         assert np.isfinite(float(metrics["loss"]))
 
 
+def test_tp_step_matches_dp_step():
+    """Tensor-parallel sharding is layout-only: loss and BN stats must match
+    the fully-replicated DP step bit-for-rtol on the same inputs."""
+    from pointnet_like_pose_estimation_tpu.parallel import (
+        count_sharded,
+        shard_state_tp,
+        tensor_parallel_specs,
+    )
+
+    cfg = TrainConfig.for_model("rotation", num_points=32, batch_size=8, augment=False)
+    spec = get_model_spec("rotation")
+    batch = _batch(8, 32)
+
+    _, _, state_a = build_state(cfg)
+    _, _, state_b = build_state(cfg)
+
+    mesh_dp = make_mesh({"data": 8})
+    state_a = replicate(state_a, mesh_dp)
+    dp = make_parallel_train_step(spec, cfg, mesh_dp)
+    state_a, m_a = dp(state_a, shard_batch(batch, mesh_dp))
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    # the 1024-wide MLP layers and the 1024->512->256 head must shard
+    sharded, total = count_sharded(state_b.params, mesh)
+    assert sharded > total * 0.5, (sharded, total)
+    specs = tensor_parallel_specs(state_b.params, mesh)
+    flat = {
+        "/".join(str(getattr(k, "key", k)) for k in p): s
+        for p, s in jax.tree_util.tree_flatten_with_path(
+            specs, is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec)
+        )[0]
+    }
+    col = [s for k, s in flat.items() if k.endswith("kernel") and s == jax.sharding.PartitionSpec(None, "model")]
+    row = [s for k, s in flat.items() if k.endswith("kernel") and s == jax.sharding.PartitionSpec("model", None)]
+    assert col and row, flat  # both halves of the Megatron pairing occur
+
+    state_b = shard_state_tp(state_b, mesh)
+    tp = make_parallel_train_step(spec, cfg, mesh, tp_axis="model", state=state_b)
+    state_b, m_b = tp(state_b, shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_a.batch_stats),
+        jax.tree_util.tree_leaves(state_b.batch_stats),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+    # second step exercises the donated round-trip (out shardings == in)
+    state_b, m_b2 = tp(state_b, shard_batch(_batch(8, 32, seed=1), mesh))
+    assert np.isfinite(float(m_b2["loss"]))
+
+
 def test_graft_entry():
     import __graft_entry__ as ge
 
