@@ -10,6 +10,9 @@ from pointnet_like_pose_estimation_tpu.parallel.mesh import (
 from pointnet_like_pose_estimation_tpu.parallel.sharded_ops import (
     sharded_farthest_point_sample,
 )
+from pointnet_like_pose_estimation_tpu.parallel.multihead import (
+    MultiHeadParallel,
+)
 from pointnet_like_pose_estimation_tpu.parallel.tensor_parallel import (
     count_sharded,
     shard_state_tp,
@@ -21,6 +24,7 @@ from pointnet_like_pose_estimation_tpu.parallel.train_parallel import (
 )
 
 __all__ = [
+    "MultiHeadParallel",
     "batch_sharding",
     "count_sharded",
     "make_mesh",

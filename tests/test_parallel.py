@@ -126,6 +126,28 @@ def test_tp_step_matches_dp_step():
     assert np.isfinite(float(m_b2["loss"]))
 
 
+def test_multihead_parallel_matches_fused():
+    """MPMD head fan-out (one device per head) returns the same grasp dict
+    as the fused single-program pipeline, with heads on distinct devices."""
+    from pointnet_like_pose_estimation_tpu.parallel import MultiHeadParallel
+    from pointnet_like_pose_estimation_tpu.pipeline import GraspPipeline, PipelineConfig
+
+    cfg = PipelineConfig(num_points=32, classifier="pointnet_cls")
+    pipe = GraspPipeline.from_random(cfg, seed=0)
+    mhp = MultiHeadParallel(pipe.models, num_classes=cfg.num_classes)
+
+    assert len({d.id for d in mhp.placement.values()}) == 5  # all distinct
+
+    xyz = jnp.asarray(
+        np.random.default_rng(3).standard_normal((6, 32, 3)), jnp.float32
+    )
+    fused = jax.tree.map(np.asarray, pipe._infer(xyz))
+    fanout = mhp(xyz)
+    assert set(fused) == set(fanout)
+    for k in fused:
+        np.testing.assert_allclose(fused[k], fanout[k], rtol=1e-4, atol=1e-5)
+
+
 def test_graft_entry():
     import __graft_entry__ as ge
 
