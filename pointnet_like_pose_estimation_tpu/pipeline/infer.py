@@ -53,6 +53,7 @@ class PipelineConfig:
     num_points: int = 1024
     num_classes: int = 7
     classifier: str = "pointnet2_cls_ssg"
+    dtype: str = "float32"                  # 'bfloat16' halves HBM traffic on TPU
 
 
 class GraspPipeline:
@@ -100,6 +101,7 @@ class GraspPipeline:
                 num_classes=cfg.num_classes,
                 num_points=cfg.num_points,
                 seed=seed,
+                dtype=cfg.dtype,
             )
             _, model, state = build_state(tcfg)
             models[name] = (model, {"params": state.params, "batch_stats": state.batch_stats})
@@ -114,7 +116,8 @@ class GraspPipeline:
         for name, path in checkpoint_paths.items():
             model_name = cfg.classifier if name == "classifier" else name
             tcfg = TrainConfig(
-                model=model_name, num_classes=cfg.num_classes, num_points=cfg.num_points
+                model=model_name, num_classes=cfg.num_classes,
+                num_points=cfg.num_points, dtype=cfg.dtype,
             )
             _, model, state = build_state(tcfg)
             state, _ = load_checkpoint(path, state)
@@ -172,16 +175,17 @@ class GraspPipeline:
         normed = normalize_cloud(xyz)
         log_probs, _, pred_class = self._apply("classifier", normed)
         spliced = aug.splice_onehot(normed, pred_class, self.cfg.num_classes)
-        rot = self._apply("rotation", spliced)                # [K, 3] euler deg, |z|
-        sign_prob, hard_sign = self._apply("sign", spliced)   # [K, 1] each
-        tran = self._apply("translation", spliced, mean)      # [K, 3] meters
-        width = self._apply("width", spliced)                 # [K, 1]
+        f32 = lambda x: x.astype(jnp.float32)                 # bf16 compute, f32 outputs
+        rot = f32(self._apply("rotation", spliced))           # [K, 3] euler deg, |z|
+        sign_prob, hard_sign = map(f32, self._apply("sign", spliced))  # [K, 1] each
+        tran = f32(self._apply("translation", spliced, mean)) # [K, 3] meters
+        width = f32(self._apply("width", spliced))            # [K, 1]
         # recompose the signed z angle stripped by the loader
         # (ModelDataLoader.py:88-89), then the grasp rotation matrix
         signed_rot = rot.at[:, 2].multiply(hard_sign[:, 0])
         R = euler_rotation_matrix(jnp.radians(signed_rot))
         return {
-            "log_probs": log_probs,
+            "log_probs": f32(log_probs),
             "pred_class": pred_class,
             "rotation_deg": signed_rot,
             "rotation_matrix": R,

@@ -17,10 +17,10 @@ if os.path.exists("log/round1_results.json"):
 
 jobs = [
     ("pointnet2_cls_ssg", dict(epochs=20, batch_size=64)),
-    ("pointnet2_cls_msg", dict(epochs=15, batch_size=32)),
-    ("rotation_msg", dict(epochs=30, batch_size=24)),
-    ("sign_ssg", dict(epochs=15, batch_size=24)),
-    ("translation_ssg", dict(epochs=20, batch_size=24)),
+    ("pointnet2_cls_msg", dict(epochs=8, batch_size=32)),
+    ("rotation_msg", dict(epochs=12, batch_size=24)),
+    ("sign_ssg", dict(epochs=10, batch_size=24)),
+    ("translation_ssg", dict(epochs=10, batch_size=24)),
 ]
 for model, kw in jobs:
     t0 = time.time()

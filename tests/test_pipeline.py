@@ -1,5 +1,6 @@
 """Pipeline tests: deprojection, RANSAC, outliers, DBSCAN, end-to-end graph."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -214,3 +215,14 @@ def test_mesh_sharded_cluster_inference():
     assert b["translation"].shape == (3, 3)
     np.testing.assert_allclose(a["translation"], b["translation"], rtol=1e-3, atol=1e-5)
     np.testing.assert_array_equal(a["pred_class"], b["pred_class"])
+
+
+def test_pipeline_bfloat16_inference():
+    """bf16 compute dtype: outputs finite, float32 out, matrices orthonormal."""
+    cfg = PipelineConfig(num_points=32, classifier="pointnet_cls", dtype="bfloat16")
+    pipe = GraspPipeline.from_random(cfg)
+    xyz = jnp.asarray(np.random.default_rng(0).standard_normal((4, 32, 3)), jnp.float32)
+    out = jax.tree.map(np.asarray, pipe._infer(xyz))
+    assert np.isfinite(out["translation"]).all()
+    eye = np.einsum("kij,klj->kil", out["rotation_matrix"], out["rotation_matrix"])
+    np.testing.assert_allclose(eye, np.eye(3)[None].repeat(4, 0), atol=2e-2)
