@@ -63,13 +63,27 @@ def create_train_state(
     # flax.serialization (typed keys cannot round-trip through msgpack)
     key = jax.random.PRNGKey(cfg.seed)
     init_key, step_key = jax.random.split(key)
-    variables = model.init(
-        {"params": init_key, "dropout": init_key}, *example_inputs, train=True
-    )
-    return PoseTrainState.create(
-        apply_fn=model.apply,
-        params=variables["params"],
-        tx=make_optimizer(cfg, steps_per_epoch),
-        batch_stats=variables.get("batch_stats", {}),
-        rng=step_key,
+    # Init math is trivial; run it on the host CPU backend so a tunneled /
+    # remote-compile TPU never pays per-module init compiles. The state is
+    # pulled to host numpy (uncommitted) so it transfers to whichever device
+    # or mesh the first real step runs on.
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    with jax.default_device(cpu):
+        variables = jax.jit(
+            lambda k: model.init({"params": k, "dropout": k}, *example_inputs, train=True)
+        )(init_key)
+        state = PoseTrainState.create(
+            apply_fn=model.apply,
+            params=variables["params"],
+            tx=make_optimizer(cfg, steps_per_epoch),
+            batch_stats=variables.get("batch_stats", {}),
+            rng=step_key,
+        )
+    # Re-put uncommitted on the default backend (plain transfer, no compile):
+    # downstream jit/shardings are free to place or reshard the state.
+    return jax.tree.map(
+        lambda x: jax.device_put(x) if isinstance(x, jax.Array) else x, state
     )
