@@ -1,4 +1,4 @@
-"""Fused ball-query + gather + center Pallas kernel.
+"""Fused ball-query + gather + center Pallas kernel (single- and multi-scale).
 
 The XLA path of ``sample_and_group`` materializes the [B, S, N] distance
 matrix in HBM, runs top_k over it, then two gathers (SURVEY §3.3 hot spots).
@@ -12,8 +12,17 @@ This kernel does the whole thing per (batch row, centroid tile) in VMEM:
 - gathers as one-hot matmuls on the MXU (no per-element dynamic indexing),
 - pad-with-first-in-ball and centroid subtraction fused in.
 
+Multi-scale grouping (PointNetSetAbstractionMsg, pointnet2_utils.py:176-223)
+re-queries the SAME centroids at L radii. ``ball_group_multi_pallas`` fuses
+the scales: ONE distance matmul per (row, centroid-tile) program serves every
+radius — the per-scale selection loops just re-threshold the resident [T, N]
+distance tile — and the outputs land in one [B, S, ΣK, C] tensor (scale l at
+K-offset ``sum(K[:l])``). The reference recomputes the full distance matrix
+per scale (:203-219); the round-1 kernel did too, costing ~L× redundant
+MXU + HBM traffic per MSG layer.
+
 HBM traffic: one read of points/features/centroids, one write of the
-[B, S, K, C] output. Numerics golden-tested against ops.sample_and_group.
+[B, S, ΣK, C] output. Numerics golden-tested against ops.sample_and_group.
 """
 
 from __future__ import annotations
@@ -30,28 +39,28 @@ from jax.experimental.pallas import tpu as pltpu
 def _ball_group_kernel(
     pts_ref,        # [1, N, C]  point channels (+feature channels)
     cent_ref,       # [1, T, P]  centroid tile (P = coord/point channels)
-    out_ref,        # [1, 1, K, T, C] — K leading so the dynamic-k store hits
+    out_ref,        # [1, 1, ΣK, T, C] — K leading so the dynamic-k store hits
     #                 a non-tiled dimension (Mosaic constraint)
-    idx_ref,        # [1, 1, K, T] int32 — selected (post-pad) indices; T in
+    idx_ref,        # [1, 1, ΣK, T] int32 — selected (post-pad) indices; T in
     #                 lanes so the block carries no 128x lane padding
     sel_ref,        # [T, N] f32 scratch: 1.0 where already selected
     first_ref,      # [T, N] f32 scratch: one-hot of slot 0 (pad source)
     fidx_ref,       # [T, 1] i32 scratch: slot-0 index
     *,
-    radius: float,
-    num_neighbors: int,
+    radii: tuple[float, ...],
+    ks: tuple[int, ...],
 ):
     N, C = pts_ref.shape[1], pts_ref.shape[2]
     T, P = cent_ref.shape[1], cent_ref.shape[2]
-    K = num_neighbors
 
     pts = pts_ref[0]                                          # [N, C]
     xyz = pts[:, :P]                                          # [N, P] point chans
     cent = cent_ref[0]                                        # [T, P]
 
-    # squared distances [T, N] — inner product on the MXU. HIGHEST precision:
-    # the default bf16 passes truncate coordinates, flipping in-ball
-    # membership at the radius boundary vs the XLA path
+    # squared distances [T, N] — inner product on the MXU, computed ONCE and
+    # shared by every radius scale. HIGHEST precision: the default bf16
+    # passes truncate coordinates, flipping in-ball membership at the radius
+    # boundary vs the XLA path
     inner = jnp.dot(cent, xyz.T, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
     d2 = (
@@ -59,7 +68,6 @@ def _ball_group_kernel(
         - 2.0 * inner
         + jnp.sum(xyz * xyz, axis=-1)[None, :]
     )
-    in_ball = d2 <= radius * radius                           # [T, N]
 
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
     sentinel = jnp.int32(N)
@@ -68,40 +76,48 @@ def _ball_group_kernel(
     # with (3+num_category)-channel pose inputs) and leaves features alone
     cent_pad = jnp.pad(cent, ((0, 0), (0, C - P))) if C > P else cent
 
-    # loop state lives in VMEM scratch (Mosaic cannot legalize scf.for with
-    # large vector iter_args)
-    sel_ref[...] = jnp.zeros((T, N), jnp.float32)
-    first_ref[...] = jnp.zeros((T, N), jnp.float32)
-    fidx_ref[...] = jnp.zeros((T, 1), jnp.int32)
+    k_offset = 0
+    for radius, K in zip(radii, ks):                          # static scales
+        in_ball = d2 <= radius * radius                       # [T, N]
 
-    def body(k, _):
-        keys = jnp.where(in_ball & (sel_ref[...] == 0.0), lane_idx, sentinel)
-        cur = jnp.min(keys, axis=-1, keepdims=True)           # [T, 1] lowest unused
-        onehot = (lane_idx == cur).astype(jnp.float32)        # all-zero if empty
-        # pad-with-first semantics: empty slot -> duplicate slot 0's point
-        empty = cur == sentinel                               # [T, 1]
-        use = jnp.where(empty, first_ref[...], onehot)
-        gathered = jnp.dot(use, pts, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)  # [T, C]
-        out_ref[0, 0, k] = gathered - cent_pad
+        # loop state lives in VMEM scratch (Mosaic cannot legalize scf.for
+        # with large vector iter_args); reset per scale
+        sel_ref[...] = jnp.zeros((T, N), jnp.float32)
+        first_ref[...] = jnp.zeros((T, N), jnp.float32)
+        fidx_ref[...] = jnp.zeros((T, 1), jnp.int32)
 
-        @pl.when(k == 0)
-        def _():
-            first_ref[...] = use
-            fidx_ref[...] = cur
+        def body(k, _, in_ball=in_ball, k_offset=k_offset):
+            keys = jnp.where(in_ball & (sel_ref[...] == 0.0), lane_idx, sentinel)
+            cur = jnp.min(keys, axis=-1, keepdims=True)       # [T, 1] lowest unused
+            onehot = (lane_idx == cur).astype(jnp.float32)    # all-zero if empty
+            # pad-with-first semantics: empty slot -> duplicate slot 0's point
+            empty = cur == sentinel                           # [T, 1]
+            use = jnp.where(empty, first_ref[...], onehot)
+            gathered = jnp.dot(use, pts, preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)  # [T, C]
+            out_ref[0, 0, k_offset + k] = gathered - cent_pad
 
-        idx_ref[0, 0, k] = jnp.where(empty, fidx_ref[...], cur).reshape(T)  # used idx (VJP)
-        sel_ref[...] = jnp.maximum(sel_ref[...], onehot)
-        return 0
+            @pl.when(k == 0)
+            def _():
+                first_ref[...] = use
+                fidx_ref[...] = cur
 
-    jax.lax.fori_loop(0, K, body, 0)
+            idx_ref[0, 0, k_offset + k] = jnp.where(
+                empty, fidx_ref[...], cur
+            ).reshape(T)                                      # used idx (VJP)
+            sel_ref[...] = jnp.maximum(sel_ref[...], onehot)
+            return 0
+
+        jax.lax.fori_loop(0, K, body, 0)
+        k_offset += K
 
 
 def _pick_tile(N: int, C: int, S: int, K: int, max_tile: int) -> int:
     """Largest divisor T of S (≤ max_tile) whose per-program working set fits
     the scoped-VMEM budget (~16 MB/core on v5e; we target 12 MB to leave room
-    for Mosaic temporaries). Accounts for Mosaic tiling pads: last dim → 128
-    lanes, second-to-last → 8 sublanes, and double-buffered grid blocks."""
+    for Mosaic temporaries). K is the TOTAL selection count (ΣK over scales).
+    Accounts for Mosaic tiling pads: last dim → 128 lanes, second-to-last →
+    8 sublanes, and double-buffered grid blocks."""
     budget = int(os.environ.get("PLPE_BALLGROUP_VMEM_BUDGET", 12 * 2**20))
     up = lambda x, m: -(-x // m) * m  # noqa: E731
     Cp, Np = up(C, 128), up(N, 128)
@@ -110,8 +126,8 @@ def _pick_tile(N: int, C: int, S: int, K: int, max_tile: int) -> int:
         if S % t == 0:
             Tp = up(t, 8)
             blocks = 2 * 4 * (         # double-buffered f32 grid blocks
-                K * Tp * Cp            # out [K, T, C]
-                + K * up(t, 128)       # idx [K, T]
+                K * Tp * Cp            # out [ΣK, T, C]
+                + K * up(t, 128)       # idx [ΣK, T]
                 + up(N, 8) * Cp        # pts [N, C]
                 + Tp * 128             # centroid tile [T, P]
             )
@@ -124,19 +140,17 @@ def _pick_tile(N: int, C: int, S: int, K: int, max_tile: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("radius", "num_neighbors", "tile", "interpret")
+    jax.jit, static_argnames=("radii", "ks", "tile", "interpret")
 )
-def _ball_group_raw(points, centroids, *, radius, num_neighbors, tile, interpret):
+def _ball_group_raw(points, centroids, *, radii, ks, tile, interpret):
     B, N, C = points.shape
     _, S, P = centroids.shape
-    K = num_neighbors
+    K = sum(ks)
     T = _pick_tile(N, C, S, K, tile)
     assert S % T == 0, (S, T)
 
     out, idx = pl.pallas_call(
-        functools.partial(
-            _ball_group_kernel, radius=radius, num_neighbors=num_neighbors
-        ),
+        functools.partial(_ball_group_kernel, radii=radii, ks=ks),
         grid=(B, S // T),
         in_specs=[
             pl.BlockSpec((1, N, C), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -167,56 +181,16 @@ def _ball_group_raw(points, centroids, *, radius, num_neighbors, tile, interpret
     return out, idx
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5)
-)
-def ball_group_pallas(
-    points: jax.Array,
-    centroids: jax.Array,
-    radius: float,
-    num_neighbors: int,
-    tile: int = 128,
-    interpret: bool = False,
-) -> jax.Array:
-    """Fused grouped neighborhoods, centered on centroids (differentiable).
-
-    Args:
-      points: [B, N, C] clouds; channels 0:3 are coordinates, 3: are
-        features carried along (pre-concatenated).
-      centroids: [B, S, P] query points, P = number of point channels used
-        for both the distance test and the centering (3 for raw clouds,
-        3+num_category for spliced pose inputs — reference semantics).
-      radius: ball radius.
-      num_neighbors: K.
-      tile: centroid tile per grid program.
-
-    Returns:
-      [B, S, K, C]: channels 0:3 centered on the centroid, features raw —
-      the reference's sample_and_group output layout with concat order
-      [centered_coords, features].
-
-    The custom VJP scatter-adds output cotangents back to points (gather
-    transpose) and sums the coordinate cotangents into centroids, exactly
-    the gradient of the XLA gather path.
-    """
-    out, _ = _ball_group_raw(
-        points, centroids, radius=radius, num_neighbors=num_neighbors,
-        tile=tile, interpret=interpret,
-    )
-    return out
-
-
-def _ball_group_fwd(points, centroids, radius, num_neighbors, tile, interpret):
+def _multi_fwd(points, centroids, radii, ks, tile, interpret):
     out, idx = _ball_group_raw(
-        points, centroids, radius=radius, num_neighbors=num_neighbors,
-        tile=tile, interpret=interpret,
+        points, centroids, radii=radii, ks=ks, tile=tile, interpret=interpret
     )
     # residuals must be jax types: carry the input arrays for shapes/dtypes
     # (both alive anyway as operands of the forward)
     return out, (idx, points, centroids)
 
 
-def _ball_group_bwd(radius, num_neighbors, tile, interpret, res, g):
+def _multi_bwd(radii, ks, tile, interpret, res, g):
     idx, points, centroids = res
     B = idx.shape[0]
     P = centroids.shape[-1]
@@ -228,4 +202,60 @@ def _ball_group_bwd(radius, num_neighbors, tile, interpret, res, g):
     return dpts, dcent
 
 
-ball_group_pallas.defvjp(_ball_group_fwd, _ball_group_bwd)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def ball_group_multi_pallas(
+    points: jax.Array,
+    centroids: jax.Array,
+    radii: tuple[float, ...],
+    ks: tuple[int, ...],
+    tile: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused MULTI-SCALE grouped neighborhoods (differentiable).
+
+    One Pallas program per (batch row, centroid tile) computes the distance
+    matmul once and selects every radius scale from it — the MSG fusion of
+    SURVEY §7.7 (reference recomputes distances per scale,
+    pointnet2_utils.py:203-219).
+
+    Args:
+      points: [B, N, C] clouds; channels 0:P are coordinates (+ spliced
+        one-hot), P: are features carried along (pre-concatenated).
+      centroids: [B, S, P] query points.
+      radii: per-scale ball radii (static tuple).
+      ks: per-scale neighbor counts K_l (static tuple).
+      tile: max centroid tile per grid program.
+
+    Returns:
+      [B, S, ΣK, C]: scale l occupies K-slots ``sum(ks[:l]) : sum(ks[:l+1])``;
+      channels 0:P centered on the centroid, features raw.
+
+    The custom VJP scatter-adds output cotangents back to points (gather
+    transpose) and sums the coordinate cotangents into centroids, exactly
+    the gradient of the XLA gather path.
+    """
+    out, _ = _ball_group_raw(
+        points, centroids, radii=radii, ks=ks, tile=tile, interpret=interpret
+    )
+    return out
+
+
+ball_group_multi_pallas.defvjp(_multi_fwd, _multi_bwd)
+
+
+def ball_group_pallas(
+    points: jax.Array,
+    centroids: jax.Array,
+    radius: float,
+    num_neighbors: int,
+    tile: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-scale fused grouping: [B, S, K, C], centered on centroids.
+
+    Thin wrapper over ``ball_group_multi_pallas`` with one scale — SSG layers
+    (pointnet2_utils.py:143-174) and the golden tests use this entry point.
+    """
+    return ball_group_multi_pallas(
+        points, centroids, (float(radius),), (int(num_neighbors),), tile, interpret
+    )

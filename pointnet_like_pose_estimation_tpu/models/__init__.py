@@ -3,9 +3,9 @@
 contract (train_classification.py:32-35).
 
 Every reference model name resolves here to a ``ModelSpec``:
-constructor, input kind (which tensors the apply fn takes), loss, and the
-dataset target slot it trains against (the loader 5-tuple
-``(points, label, rot, tran, sign)``, ModelDataLoader.py:91).
+constructor, input kind (which tensors the apply fn takes), loss and metric
+(the target tensor itself is picked per task in train/steps._prepare_inputs,
+mirroring the loader 5-tuple, ModelDataLoader.py:91).
 """
 
 from __future__ import annotations
@@ -55,7 +55,6 @@ class ModelSpec:
       task: 'classify' | 'rotation' | 'sign' | 'translation' | 'width'.
       input_kind: 'xyz' (raw cloud), 'spliced' (one-hot channels appended),
         or 'spliced_mean' (spliced cloud + centroid vector).
-      target: index into the loader tuple (points, label, rot, tran, sign).
       loss: callable(outputs, target, **cfg) -> scalar.
       metric: callable(outputs, target) -> scalar (task headline metric).
     """
@@ -64,7 +63,6 @@ class ModelSpec:
     make: Callable[..., nn.Module]
     task: str
     input_kind: str
-    target: int
     loss: Callable[..., Any]
     metric: Callable[..., Any]
 
@@ -108,24 +106,24 @@ def _reg(spec: ModelSpec):
     return spec
 
 
-_reg(ModelSpec("pointnet_cls", PointNetCls, "classify", "xyz", 1, _cls_loss, _cls_metric))
-_reg(ModelSpec("pointnet2_cls_ssg", PointNet2ClsSSG, "classify", "xyz", 1, _cls_loss, _cls_metric))
-_reg(ModelSpec("pointnet2_cls_msg", PointNet2ClsMSG, "classify", "xyz", 1, _cls_loss, _cls_metric))
+_reg(ModelSpec("pointnet_cls", PointNetCls, "classify", "xyz", _cls_loss, _cls_metric))
+_reg(ModelSpec("pointnet2_cls_ssg", PointNet2ClsSSG, "classify", "xyz", _cls_loss, _cls_metric))
+_reg(ModelSpec("pointnet2_cls_msg", PointNet2ClsMSG, "classify", "xyz", _cls_loss, _cls_metric))
 
-_reg(ModelSpec("rotation", lambda **kw: VanillaHead(out_dim=3, **kw), "rotation", "spliced", 2, _reg_loss, _reg_metric))
-_reg(ModelSpec("rotation_ssg", lambda **kw: SSGHead(out_dim=3, levels=3, **kw), "rotation", "spliced", 2, _reg_loss, _reg_metric))
-_reg(ModelSpec("rotation_msg", lambda **kw: MSGHead(out_dim=3, levels=3, **kw), "rotation", "spliced", 2, _reg_loss, _reg_metric))
+_reg(ModelSpec("rotation", lambda **kw: VanillaHead(out_dim=3, **kw), "rotation", "spliced", _reg_loss, _reg_metric))
+_reg(ModelSpec("rotation_ssg", lambda **kw: SSGHead(out_dim=3, levels=3, **kw), "rotation", "spliced", _reg_loss, _reg_metric))
+_reg(ModelSpec("rotation_msg", lambda **kw: MSGHead(out_dim=3, levels=3, **kw), "rotation", "spliced", _reg_loss, _reg_metric))
 
-_reg(ModelSpec("sign", lambda **kw: VanillaHead(out_dim=1, sigmoid_sign=True, **kw), "sign", "spliced", 4, _sign_loss, _sign_metric))
-_reg(ModelSpec("sign_ssg", lambda **kw: SSGHead(out_dim=1, levels=2, sigmoid_sign=True, **kw), "sign", "spliced", 4, _sign_loss, _sign_metric))
-_reg(ModelSpec("sign_msg", lambda **kw: MSGHead(out_dim=1, levels=2, sigmoid_sign=True, **kw), "sign", "spliced", 4, _sign_loss, _sign_metric))
+_reg(ModelSpec("sign", lambda **kw: VanillaHead(out_dim=1, sigmoid_sign=True, **kw), "sign", "spliced", _sign_loss, _sign_metric))
+_reg(ModelSpec("sign_ssg", lambda **kw: SSGHead(out_dim=1, levels=2, sigmoid_sign=True, **kw), "sign", "spliced", _sign_loss, _sign_metric))
+_reg(ModelSpec("sign_msg", lambda **kw: MSGHead(out_dim=1, levels=2, sigmoid_sign=True, **kw), "sign", "spliced", _sign_loss, _sign_metric))
 
-_reg(ModelSpec("translation", lambda **kw: VanillaHead(out_dim=3, mean_residual=True, **kw), "translation", "spliced_mean", 3, _reg_loss, _tran_metric))
-_reg(ModelSpec("translation_ssg", lambda **kw: SSGHead(out_dim=3, levels=2, mean_residual=True, **kw), "translation", "spliced_mean", 3, _reg_loss, _tran_metric))
-_reg(ModelSpec("translation_msg", lambda **kw: MSGHead(out_dim=3, levels=2, mean_residual=True, **kw), "translation", "spliced_mean", 3, _reg_loss, _tran_metric))
+_reg(ModelSpec("translation", lambda **kw: VanillaHead(out_dim=3, mean_residual=True, **kw), "translation", "spliced_mean", _reg_loss, _tran_metric))
+_reg(ModelSpec("translation_ssg", lambda **kw: SSGHead(out_dim=3, levels=2, mean_residual=True, **kw), "translation", "spliced_mean", _reg_loss, _tran_metric))
+_reg(ModelSpec("translation_msg", lambda **kw: MSGHead(out_dim=3, levels=2, mean_residual=True, **kw), "translation", "spliced_mean", _reg_loss, _tran_metric))
 
-_reg(ModelSpec("width", lambda **kw: VanillaHead(out_dim=1, **kw), "width", "spliced", 3, _reg_loss, _reg_metric))
-_reg(ModelSpec("pose", GenericPoseHead, "rotation", "spliced", 2, _reg_loss, _reg_metric))
+_reg(ModelSpec("width", lambda **kw: VanillaHead(out_dim=1, **kw), "width", "spliced", _reg_loss, _reg_metric))
+_reg(ModelSpec("pose", GenericPoseHead, "rotation", "spliced", _reg_loss, _reg_metric))
 
 MODEL_REGISTRY = dict(_R)
 

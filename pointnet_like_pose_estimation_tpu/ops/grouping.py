@@ -146,7 +146,13 @@ def sample_and_group(
             impl == "pallas_interpret",
         )
     else:
-        idx = query_ball_point(radius, num_neighbors, points, centroids)
+        N = points.shape[1]
+        # big S*N: tile the centroid axis so the [B, S, N] distance matrix
+        # never materializes in HBM (the Pallas kernel does this natively)
+        if S >= 128 and N >= 4096:
+            idx = query_ball_point_chunked(radius, num_neighbors, points, centroids)
+        else:
+            idx = query_ball_point(radius, num_neighbors, points, centroids)
         grouped = index_points(points, idx)                   # [B, S, K, 3]
         grouped = grouped - centroids[:, :, None, :]
         if features is not None:

@@ -34,7 +34,10 @@ class TrainConfig:
     augment: bool = True
     data_parallel: bool = False      # shard the batch over a 'data' mesh axis
     multihost: bool = False          # call jax.distributed.initialize() first
-    scan_epoch: bool = False         # whole epoch in one dispatch (lax.scan)
+    device_data: bool = True         # dataset resident in HBM; one dispatch
+    #                                  per epoch/eval (steps.make_device_epoch_runner)
+    ckpt_every: int = 1              # save 'latest' every k epochs (bounds
+    #                                  D2H checkpoint traffic on tunneled TPUs)
     # reference-compat quirk flags (SURVEY §3.2)
     compat_first3_mean: bool = False  # train_translation.py:113 first-3-points mean
     compat_pm1_bce: bool = False      # train_sign.py:121 ±1 targets into BCE

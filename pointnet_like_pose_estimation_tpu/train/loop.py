@@ -33,8 +33,8 @@ from pointnet_like_pose_estimation_tpu.models import get_model_spec
 from pointnet_like_pose_estimation_tpu.train.config import TrainConfig
 from pointnet_like_pose_estimation_tpu.train.state import create_train_state
 from pointnet_like_pose_estimation_tpu.train.steps import (
-    make_epoch_runner,
-    make_eval_step,
+    make_device_epoch_runner,
+    make_device_eval_runner,
     make_train_step,
 )
 
@@ -143,70 +143,83 @@ class PreemptionGuard:
         return False
 
 
-def _pad_batch(batch: dict, batch_size: int) -> dict:
-    """Pad a tail batch to the full static batch size with a validity mask,
-    so evaluation compiles exactly one program."""
-    n = len(batch["labels"])
-    out = dict(batch)
-    out["valid"] = np.ones(batch_size, np.float32)
-    if n < batch_size:
-        pad = batch_size - n
-        for k, v in batch.items():
-            out[k] = np.concatenate([v, np.repeat(v[:1], pad, axis=0)])
-        out["valid"][n:] = 0.0
-    return out
-
-
-def evaluate(cfg: TrainConfig, state, ds: PoseDataset, eval_step=None) -> dict:
-    """Full-split evaluation with the reference's metric conventions."""
-    spec = get_model_spec(cfg.model)
-    if eval_step is None:
-        eval_step = make_eval_step(spec, cfg)
-    loss_sum, metric_sum, count = 0.0, 0.0, 0
-    per_class_correct = np.zeros(cfg.num_classes)
-    per_class_count = np.zeros(cfg.num_classes)
-    per_class_err = np.zeros((cfg.num_classes, 3))
-    for raw in iter_batches(ds, cfg.batch_size, drop_last=False):
-        n_valid = len(raw["labels"])
-        batch = _pad_batch(raw, cfg.batch_size)
-        out = jax.device_get(eval_step(state, {k: jnp.asarray(v) for k, v in batch.items()}))
-        loss_sum += float(out["loss"]) * n_valid
-        metric_sum += float(out["metric"]) * n_valid
-        count += n_valid
-        labels = raw["labels"]
-        if spec.task == "classify":
-            pred = out["pred"][:n_valid]
-            for c in range(cfg.num_classes):
-                m = labels == c
-                per_class_correct[c] += (pred[m] == c).sum()
-                per_class_count[c] += m.sum()
-        elif spec.task in ("rotation", "translation"):
-            target = raw["rot"] if spec.task == "rotation" else raw["tran"]
-            err = np.abs(out["pred"][:n_valid] - target)
-            for c in range(cfg.num_classes):
-                m = labels == c
-                per_class_err[c] += err[m].sum(axis=0)
-                per_class_count[c] += m.sum()
-    result = {
-        "loss": loss_sum / max(count, 1),
-        "metric": metric_sum / max(count, 1),
+def _device_train_data(ds: PoseDataset) -> dict:
+    """Upload the packed train split to the device once (resident in HBM)."""
+    return {
+        "points": jnp.asarray(ds.points),
+        "labels": jnp.asarray(ds.labels),
+        "rot": jnp.asarray(ds.rot),
+        "tran": jnp.asarray(ds.tran),
+        "sign": jnp.asarray(ds.sign),
+        "width": jnp.asarray(ds.width[:, None]),
     }
-    seen = per_class_count > 0
-    if spec.task == "classify":
-        acc = per_class_correct[seen] / per_class_count[seen]
-        result["instance_acc"] = float(per_class_correct.sum() / per_class_count.sum())
+
+
+def _device_eval_batches(ds: PoseDataset, batch_size: int):
+    """Pad the split to a whole number of batches (repeating row 0, masked
+    out by ``valid``) and upload as [num_batches, B, ...] device arrays."""
+    m = len(ds)
+    nb = -(-m // batch_size)
+    pad = nb * batch_size - m
+    valid = np.ones(nb * batch_size, np.float32)
+    valid[m:] = 0.0
+
+    def prep(a):
+        if pad:
+            a = np.concatenate([a, np.repeat(a[:1], pad, axis=0)])
+        return jnp.asarray(a.reshape(nb, batch_size, *a.shape[1:]))
+
+    data = {
+        "points": prep(ds.points),
+        "labels": prep(ds.labels),
+        "rot": prep(ds.rot),
+        "tran": prep(ds.tran),
+        "sign": prep(ds.sign),
+        "width": prep(ds.width[:, None]),
+    }
+    return nb, data, jnp.asarray(valid.reshape(nb, batch_size))
+
+
+def _finalize_eval(spec, cfg: TrainConfig, sums: dict) -> dict:
+    """Host-side finalization of the device sums into the reference's metric
+    conventions: instance + mean-per-class accuracy
+    (train_classification.py:144-155, incl. per-class sign accuracy), per-axis
+    and per-class-per-axis absolute error (test_rotation.py:84-97), cm scaling
+    for translation (test_translation.py:101)."""
+    sums = jax.device_get(sums)
+    n = max(float(sums["n"]), 1.0)
+    scale = 100.0 if spec.task == "translation" else 1.0
+    result = {"loss": float(sums["loss"]) / n,
+              "metric": float(sums["metric"]) * scale / n}
+    cnt = sums["per_class_count"]
+    seen = cnt > 0
+    if spec.task in ("classify", "sign"):
+        pcc = sums["per_class_correct"]
+        acc = pcc[seen] / cnt[seen]
+        result["instance_acc"] = float(pcc.sum() / max(cnt.sum(), 1.0))
         result["class_acc"] = float(acc.mean())
-    elif spec.task in ("rotation", "translation"):
-        # translation reported in cm (test_translation.py:101), rotation in
-        # degrees; per-class-per-axis like test_rotation.py:84-97
-        scale = 100.0 if spec.task == "translation" else 1.0
-        axis_err = per_class_err.sum(0) / max(per_class_count.sum(), 1) * scale
+        result["per_class_acc"] = acc.tolist()
+    else:
+        pce = sums["per_class_abs_err"]                       # [C, D]
+        axis_err = pce.sum(0) / n * scale
         result["axis_err"] = axis_err.tolist()
         result["mean_err"] = float(axis_err.mean())
         with np.errstate(invalid="ignore"):
-            pc = per_class_err / np.maximum(per_class_count[:, None], 1) * scale
+            pc = pce / np.maximum(cnt[:, None], 1) * scale
         result["per_class_axis_err"] = pc[seen].tolist()
     return result
+
+
+def evaluate(cfg: TrainConfig, state, ds: PoseDataset, eval_runner=None) -> dict:
+    """Full-split evaluation with the reference's metric conventions.
+
+    One device dispatch (steps.make_device_eval_runner) + one small D2H.
+    """
+    spec = get_model_spec(cfg.model)
+    nb, data, valid = _device_eval_batches(ds, cfg.batch_size)
+    if eval_runner is None:
+        eval_runner = make_device_eval_runner(spec, cfg, nb)
+    return _finalize_eval(spec, cfg, eval_runner(state, data, valid))
 
 
 def train(
@@ -242,10 +255,18 @@ def train(
         put = lambda b: shard_batch(b, mesh)  # noqa: E731
     else:
         train_step = make_train_step(spec, cfg)
+    # device-resident fast path: dataset in HBM, one dispatch per epoch/eval
+    # (per-step dispatch is latency-bound over a tunneled TPU — see
+    # steps.make_device_epoch_runner)
+    use_device_data = cfg.device_data and not cfg.data_parallel
     epoch_runner = (
-        make_epoch_runner(spec, cfg) if cfg.scan_epoch and not cfg.data_parallel else None
+        make_device_epoch_runner(spec, cfg, steps_per_epoch) if use_device_data else None
     )
-    eval_step = make_eval_step(spec, cfg)
+    dev_train = _device_train_data(train_ds) if use_device_data else None
+    eval_runner, eval_batches, eval_valid = None, None, None
+    if test_ds is not None and len(test_ds):
+        nb, eval_batches, eval_valid = _device_eval_batches(test_ds, cfg.batch_size)
+        eval_runner = make_device_eval_runner(spec, cfg, nb)
 
     ckpt = _ckpt_dir(cfg)
     # per-experiment file log, mirroring the reference's create_log
@@ -278,17 +299,11 @@ def train(
             t0 = time.time()
             train_loss, train_metric, n = 0.0, 0.0, 0
             if epoch_runner is not None:
-                stacked = None
-                for batch in iter_batches(train_ds, cfg.batch_size, rng=rng):
-                    if stacked is None:
-                        stacked = {k: [] for k in batch}
-                    for k, v in batch.items():
-                        stacked[k].append(v)
-                batches = {k: jnp.asarray(np.stack(v)) for k, v in stacked.items()}
-                state, metrics = epoch_runner(state, batches)
-                n = len(next(iter(batches.values())))
-                train_loss = float(jnp.sum(metrics["loss"]))
-                train_metric = float(jnp.sum(metrics["metric"]))
+                state, metrics = epoch_runner(state, dev_train)
+                metrics = jax.device_get(metrics)              # one tiny D2H
+                n = 1
+                train_loss = float(metrics["loss"])
+                train_metric = float(metrics["metric"])
             else:
                 for batch in iter_batches(train_ds, cfg.batch_size, rng=rng):
                     if guard.preempted:
@@ -309,15 +324,19 @@ def train(
                 "train_metric": train_metric / max(n, 1),
                 "seconds": time.time() - t0,
             }
-            if test_ds is not None and len(test_ds):
-                row.update({f"test_{k}": v for k, v in evaluate(cfg, state, test_ds, eval_step).items()})
+            if eval_runner is not None:
+                ev = _finalize_eval(
+                    spec, cfg, eval_runner(state, eval_batches, eval_valid)
+                )
+                row.update({f"test_{k}": v for k, v in ev.items()})
                 key = "test_instance_acc" if spec.task == "classify" else (
                     "test_metric" if spec.task == "sign" else "test_mean_err")
                 cur = row.get(key, row.get("test_metric"))
                 if best_metric is None or (cur > best_metric if higher else cur < best_metric):
                     best_metric = cur
                     save_checkpoint(os.path.join(ckpt, "best.msgpack"), state, epoch, cur)
-            save_checkpoint(latest, state, epoch, row.get("train_loss", 0.0))
+            if (epoch + 1) % cfg.ckpt_every == 0 or epoch == cfg.epochs - 1:
+                save_checkpoint(latest, state, epoch, row.get("train_loss", 0.0))
             history.append(row)
             log.info("%s", row)
             if guard.preempted:

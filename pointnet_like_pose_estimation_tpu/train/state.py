@@ -82,8 +82,7 @@ def create_train_state(
             batch_stats=variables.get("batch_stats", {}),
             rng=step_key,
         )
-    # Re-put uncommitted on the default backend (plain transfer, no compile):
-    # downstream jit/shardings are free to place or reshard the state.
-    return jax.tree.map(
-        lambda x: jax.device_put(x) if isinstance(x, jax.Array) else x, state
-    )
+    # The state's arrays are CPU-backed and UNCOMMITTED (created under
+    # default_device, not device_put to it): the first downstream jit or
+    # sharding constraint moves them to whatever device/mesh it runs on.
+    return state

@@ -82,12 +82,92 @@ def test_ball_group_pallas_gradients_match_xla():
     np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]), rtol=1e-4, atol=1e-5)
 
 
-def test_ball_group_pallas_lowers_for_tpu():
-    # lowering probe (no execution): all primitives must be Mosaic-supported
-    import jax
+def test_ball_group_multi_matches_per_scale():
+    """The fused multi-scale kernel slice-for-slice equals per-scale calls
+    (one distance eval shared across radii — SURVEY §7.7 fusion)."""
+    from pointnet_like_pose_estimation_tpu.kernels.ball_group import (
+        ball_group_multi_pallas,
+        ball_group_pallas,
+    )
 
-    if "TPU" not in str(jax.devices()[0]).upper() and jax.default_backend() == "cpu":
-        pytest.skip("needs a TPU lowering target")
+    rng = np.random.default_rng(11)
+    B, N, D = 2, 256, 5
+    xyz = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
+    feats = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
+    cat = jnp.concatenate([xyz, feats], -1)
+    cent = xyz[:, ::8, :]                                     # [B, 32, 3]
+    radii, ks = (0.4, 0.8, 1.6), (4, 8, 16)
+
+    fused = ball_group_multi_pallas(cat, cent, radii, ks, 32, True)
+    assert fused.shape == (B, 32, sum(ks), 3 + D)
+    offset = 0
+    for r, K in zip(radii, ks):
+        want = ball_group_pallas(cat, cent, r, K, 32, True)
+        np.testing.assert_allclose(
+            np.asarray(fused[:, :, offset : offset + K]),
+            np.asarray(want),
+            rtol=1e-5, atol=1e-6, err_msg=f"scale r={r}",
+        )
+        offset += K
+
+
+def test_ball_group_multi_gradients_match_per_scale():
+    from pointnet_like_pose_estimation_tpu.kernels.ball_group import (
+        ball_group_multi_pallas,
+        ball_group_pallas,
+    )
+
+    rng = np.random.default_rng(12)
+    B, N = 2, 128
+    xyz = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
+    cent = xyz[:, ::8, :]
+    radii, ks = (0.6, 1.2), (4, 8)
+
+    def fused_loss(p, c):
+        return jnp.sum(jnp.sin(ball_group_multi_pallas(p, c, radii, ks, 16, True)))
+
+    def per_scale_loss(p, c):
+        return sum(
+            jnp.sum(jnp.sin(ball_group_pallas(p, c, r, K, 16, True)))
+            for r, K in zip(radii, ks)
+        )
+
+    ga = jax.grad(fused_loss, argnums=(0, 1))(xyz, cent)
+    gb = jax.grad(per_scale_loss, argnums=(0, 1))(xyz, cent)
+    np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gb[0]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]), rtol=1e-4, atol=1e-5)
+
+
+def test_kernels_lower_and_run_on_tpu():
+    """On a real TPU backend: both kernels must COMPILE through Mosaic and
+    execute, and their results must match the XLA implementations bit-for-bit
+    — the guard VERDICT r1 asked for (a Mosaic rejection otherwise only
+    surfaces on hardware while CPU-interpret tests stay green). Skipped on
+    the CPU test platform."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("needs a real TPU backend (runs in scripts/tpu_checks.py)")
+
+    from pointnet_like_pose_estimation_tpu.kernels.ball_group import ball_group_pallas
+    from pointnet_like_pose_estimation_tpu.ops import index_points, query_ball_point
+
+    from pointnet_like_pose_estimation_tpu.kernels import flags
+
+    rng = np.random.default_rng(13)
+    pts = jnp.asarray(rng.standard_normal((4, 1024, 3)), jnp.float32)
+    jax.jit(lambda p: fps_pallas(p, 256)).lower(pts).compile()
+    got = fps_pallas(pts, 256)
+    flags.set_impls(fps="xla")  # oracle must NOT auto-dispatch back to pallas
+    try:
+        want = farthest_point_sample(pts, 256)
+    finally:
+        flags.set_impls(fps="auto")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    cent = pts[:, :128, :]
+    g = ball_group_pallas(pts, cent, 0.4, 32, 128, False)
+    idx = query_ball_point(0.4, 32, pts, cent)
+    want_g = index_points(pts, idx) - cent[:, :, None, :]
+    np.testing.assert_allclose(np.asarray(g), np.asarray(want_g), rtol=1e-4, atol=1e-5)
 
 
 def test_sample_and_group_pallas_dispatch_matches_xla():
