@@ -86,56 +86,46 @@ class SetAbstractionMSG(nn.Module):
         """
         fps_idx = farthest_point_sample(points, self.num_centroids)
         centroids = index_points(points, fps_idx)
-        P = points.shape[-1]
         impl = _grouping_impl()
-        use_pallas = impl.startswith("pallas")
-        outs = []
-        if use_pallas:
+        if impl.startswith("pallas") and self.num_centroids % 8 == 0:
             from pointnet_like_pose_estimation_tpu.kernels.ball_group import (
-                ball_group_multi_pallas,
+                ball_query_multi_pallas,
             )
 
             # ONE fused kernel for every radius scale: the distance matmul is
             # computed once per centroid tile and shared (SURVEY §7.7; the
             # reference recomputes it per scale, pointnet2_utils.py:203-219)
-            cat = (
-                jnp.concatenate([points, features], axis=-1)
-                if features is not None
-                else points
-            )
-            g = ball_group_multi_pallas(
-                cat,
-                centroids,
+            # indices are non-differentiable; stop_gradient keeps autodiff
+            # from tracing into the pallas_call (no JVP rule)
+            idx_all = ball_query_multi_pallas(
+                jax.lax.stop_gradient(points),
+                jax.lax.stop_gradient(centroids),
                 tuple(float(r) for r in self.radius_list),
                 tuple(int(k) for k in self.num_neighbors_list),
-                min(128, self.num_centroids),
-                impl == "pallas_interpret",
+                interpret=impl == "pallas_interpret",
             )
-            offset = 0
-            for i, K in enumerate(self.num_neighbors_list):
-                gi = g[:, :, offset : offset + K, :]
-                offset += K
+            offsets = [0]
+            for K in self.num_neighbors_list:
+                offsets.append(offsets[-1] + K)
+            idx_list = [
+                idx_all[:, :, offsets[i] : offsets[i + 1]]
+                for i in range(len(self.num_neighbors_list))
+            ]
+        else:
+            idx_list = [
+                query_ball_point(radius, K, points, centroids)
+                for radius, K in zip(self.radius_list, self.num_neighbors_list)
+            ]
+        outs = []
+        for i, idx in enumerate(idx_list):
+            grouped = index_points(points, idx) - centroids[:, :, None, :]
+            if features is not None:
                 # reference order: [features, centered_coords]
                 # (pointnet2_utils.py:211)
-                grouped = (
-                    jnp.concatenate([gi[..., P:], gi[..., :P]], axis=-1)
-                    if features is not None
-                    else gi
-                )
-                h = PointwiseMLP(self.mlp_list[i], dtype=self.dtype, name=f"mlp_{i}")(
-                    grouped, train=train
-                )
-                outs.append(jnp.max(h, axis=-2))
-        else:
-            for i, radius in enumerate(self.radius_list):
-                K = self.num_neighbors_list[i]
-                idx = query_ball_point(radius, K, points, centroids)
-                grouped = index_points(points, idx) - centroids[:, :, None, :]
-                if features is not None:
-                    gfeat = index_points(features, idx)
-                    grouped = jnp.concatenate([gfeat, grouped], axis=-1)
-                h = PointwiseMLP(self.mlp_list[i], dtype=self.dtype, name=f"mlp_{i}")(
-                    grouped, train=train
-                )
-                outs.append(jnp.max(h, axis=-2))
+                gfeat = index_points(features, idx)
+                grouped = jnp.concatenate([gfeat, grouped], axis=-1)
+            h = PointwiseMLP(self.mlp_list[i], dtype=self.dtype, name=f"mlp_{i}")(
+                grouped, train=train
+            )
+            outs.append(jnp.max(h, axis=-2))
         return centroids, jnp.concatenate(outs, axis=-1)

@@ -52,6 +52,21 @@ def query_ball_point(
       ``[B, S, K]`` int32 indices into the N axis.
     """
     B, N, _ = points.shape
+    impl = _grouping_impl()
+    if impl.startswith("pallas") and centroids.shape[1] % 8 == 0:
+        from pointnet_like_pose_estimation_tpu.kernels.ball_group import (
+            ball_query_pallas,
+        )
+
+        # indices are non-differentiable; stop_gradient keeps autodiff from
+        # tracing into the pallas_call (which has no JVP rule)
+        return ball_query_pallas(
+            jax.lax.stop_gradient(points),
+            jax.lax.stop_gradient(centroids),
+            radius,
+            num_neighbors,
+            interpret=impl == "pallas_interpret",
+        )
     sqrdists = square_distance(centroids, points)             # [B, S, N]
     in_ball = sqrdists <= radius * radius
     point_ids = jax.lax.broadcasted_iota(jnp.int32, sqrdists.shape, 2)
@@ -123,41 +138,19 @@ def sample_and_group(
         fps_idx = farthest_point_sample(points, num_centroids)
     centroids = index_points(points, fps_idx)                 # [B, S, 3]
 
-    impl = _grouping_impl()
-    S = int(num_centroids)
-    if impl.startswith("pallas") and S % min(128, S) == 0:
-        from pointnet_like_pose_estimation_tpu.kernels.ball_group import (
-            ball_group_pallas,
-        )
-
-        cat = (
-            points
-            if features is None
-            else jnp.concatenate([points, features], axis=-1)
-        )
-        # full point-channel centroids: distance + centering over every
-        # point channel, like the reference (spliced pose inputs included)
-        grouped = ball_group_pallas(
-            cat,
-            centroids,
-            radius,
-            num_neighbors,
-            min(128, S),
-            impl == "pallas_interpret",
-        )
+    S, N = int(num_centroids), points.shape[1]
+    # query_ball_point dispatches to the Pallas kernel on TPU (the [B, S, N]
+    # distance matrix stays in VMEM); on the XLA path, big S*N tiles the
+    # centroid axis so the matrix never materializes in HBM
+    if not _grouping_impl().startswith("pallas") and S >= 128 and N >= 4096:
+        idx = query_ball_point_chunked(radius, num_neighbors, points, centroids)
     else:
-        N = points.shape[1]
-        # big S*N: tile the centroid axis so the [B, S, N] distance matrix
-        # never materializes in HBM (the Pallas kernel does this natively)
-        if S >= 128 and N >= 4096:
-            idx = query_ball_point_chunked(radius, num_neighbors, points, centroids)
-        else:
-            idx = query_ball_point(radius, num_neighbors, points, centroids)
-        grouped = index_points(points, idx)                   # [B, S, K, 3]
-        grouped = grouped - centroids[:, :, None, :]
-        if features is not None:
-            grouped_feat = index_points(features, idx)        # [B, S, K, D]
-            grouped = jnp.concatenate([grouped, grouped_feat], axis=-1)
+        idx = query_ball_point(radius, num_neighbors, points, centroids)
+    grouped = index_points(points, idx)                       # [B, S, K, 3]
+    grouped = grouped - centroids[:, :, None, :]
+    if features is not None:
+        grouped_feat = index_points(features, idx)            # [B, S, K, D]
+        grouped = jnp.concatenate([grouped, grouped_feat], axis=-1)
     if return_fps:
         return centroids, grouped, fps_idx
     return centroids, grouped

@@ -9,6 +9,7 @@ from pointnet_like_pose_estimation_tpu.parallel.mesh import (
 )
 from pointnet_like_pose_estimation_tpu.parallel.sharded_ops import (
     sharded_farthest_point_sample,
+    sharded_sample_and_group,
 )
 from pointnet_like_pose_estimation_tpu.parallel.multihead import (
     MultiHeadParallel,
@@ -33,6 +34,7 @@ __all__ = [
     "shard_state_tp",
     "make_parallel_train_step",
     "sharded_farthest_point_sample",
+    "sharded_sample_and_group",
     "tensor_parallel_shardings",
     "tensor_parallel_specs",
 ]

@@ -36,6 +36,8 @@ class TrainConfig:
     multihost: bool = False          # call jax.distributed.initialize() first
     device_data: bool = True         # dataset resident in HBM; one dispatch
     #                                  per epoch/eval (steps.make_device_epoch_runner)
+    epoch_chunk: int = 256           # max scan steps per dispatch (bounds
+    #                                  single-execution wall time on tunneled TPUs)
     ckpt_every: int = 1              # save 'latest' every k epochs (bounds
     #                                  D2H checkpoint traffic on tunneled TPUs)
     # reference-compat quirk flags (SURVEY §3.2)

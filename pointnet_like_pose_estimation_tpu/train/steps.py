@@ -98,8 +98,9 @@ def make_train_step(spec: ModelSpec, cfg: TrainConfig) -> Callable:
 def make_device_epoch_runner(
     spec: ModelSpec, cfg: TrainConfig, num_steps: int
 ) -> Callable:
-    """Whole-epoch training against a DEVICE-RESIDENT dataset: one dispatch
-    per epoch, one scalar D2H for the summed metrics.
+    """Whole-epoch training against a DEVICE-RESIDENT dataset: a handful of
+    dispatches per epoch (``ceil(num_steps / cfg.epoch_chunk)`` scan
+    segments), one scalar D2H for the summed metrics.
 
     The reference's hot loop crosses the host/device boundary every batch
     (numpy augmentation + ``.cuda()`` copies, train_classification.py:105-124).
@@ -107,9 +108,11 @@ def make_device_epoch_runner(
     per-step Python loop is latency-bound regardless of compute. Here the
     packed dataset lives in HBM (the full 7×8000-cloud set is ~0.7 GB), a
     fresh shuffle permutation is drawn from the carried PRNG key on device,
-    and ``lax.scan`` runs the identical train-step body ``num_steps`` times —
-    batches are materialized inside the scan by a gather, augmentation stays
-    fused in the step.
+    and ``lax.scan`` runs the identical train-step body over segment-sized
+    index slabs — batches are materialized inside the scan by a gather,
+    augmentation stays fused in the step. Segmenting (vs one epoch-length
+    scan) bounds single-execution device time, which trips RPC deadlines on
+    tunneled TPUs at the multi-minute scale.
 
     Args:
       num_steps: batches per epoch (static; floor(len(ds)/batch_size),
@@ -122,40 +125,60 @@ def make_device_epoch_runner(
     """
     loss_kw = _loss_kwargs(spec, cfg)
     B = cfg.batch_size
+    # bound the steps per dispatch: one giant scan (minutes of device time in
+    # a single execution) can trip RPC deadlines on tunneled/remote TPUs, and
+    # segment boundaries give preemption + progress granularity. Segment
+    # slicing happens on device arrays — still zero per-step H2D.
+    chunk = max(1, min(cfg.epoch_chunk, num_steps))
 
-    @functools.partial(jax.jit, donate_argnums=0)
-    def epoch_runner(state: PoseTrainState, data: dict):
+    @jax.jit
+    def draw_perm(state: PoseTrainState, data: dict):
         rng, perm_key = jax.random.split(state.rng)
-        state = state.replace(rng=rng)
         n = data["labels"].shape[0]
         perm = jax.random.permutation(perm_key, n)[: num_steps * B]
-        perm = perm.reshape(num_steps, B)
+        return state.replace(rng=rng), perm.reshape(num_steps, B)
 
-        def one_step(state, idx):
-            batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
-            rng, aug_key, drop_key = jax.random.split(state.rng, 3)
-            inputs, target = _prepare_inputs(spec, cfg, aug_key, batch, train=True)
+    def one_step(state, idx, data):
+        batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+        rng, aug_key, drop_key = jax.random.split(state.rng, 3)
+        inputs, target = _prepare_inputs(spec, cfg, aug_key, batch, train=True)
 
-            def loss_fn(params):
-                outputs, updates = state.apply_fn(
-                    {"params": params, "batch_stats": state.batch_stats},
-                    *inputs,
-                    train=True,
-                    rngs={"dropout": drop_key},
-                    mutable=["batch_stats"],
-                )
-                return spec.loss(outputs, target, **loss_kw), (outputs, updates)
-
-            (loss, (outputs, updates)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params)
-            state = state.apply_gradients(
-                grads=grads, batch_stats=updates["batch_stats"], rng=rng
+        def loss_fn(params):
+            outputs, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                *inputs,
+                train=True,
+                rngs={"dropout": drop_key},
+                mutable=["batch_stats"],
             )
-            return state, {"loss": loss, "metric": spec.metric(outputs, target)}
+            return spec.loss(outputs, target, **loss_kw), (outputs, updates)
 
-        state, metrics = jax.lax.scan(one_step, state, perm)
-        return state, {k: jnp.mean(v) for k, v in metrics.items()}
+        (loss, (outputs, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(
+            grads=grads, batch_stats=updates["batch_stats"], rng=rng
+        )
+        return state, {"loss": loss, "metric": spec.metric(outputs, target)}
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run_segment(state: PoseTrainState, data: dict, idx: jax.Array):
+        state, metrics = jax.lax.scan(
+            lambda s, i: one_step(s, i, data), state, idx
+        )
+        return state, {k: jnp.sum(v) for k, v in metrics.items()}
+
+    def epoch_runner(state: PoseTrainState, data: dict):
+        state, perm = draw_perm(state, data)
+        sums = None
+        for lo in range(0, num_steps - num_steps % chunk, chunk):
+            state, ms = run_segment(state, data, perm[lo : lo + chunk])
+            sums = ms if sums is None else {k: sums[k] + v for k, v in ms.items()}
+        tail = num_steps % chunk
+        if tail:  # one extra compile, shape [tail, B], cached across epochs
+            state, ms = run_segment(state, data, perm[num_steps - tail :])
+            sums = ms if sums is None else {k: sums[k] + v for k, v in ms.items()}
+        return state, {k: v / num_steps for k, v in sums.items()}
 
     return epoch_runner
 
@@ -163,7 +186,8 @@ def make_device_epoch_runner(
 def make_device_eval_runner(
     spec: ModelSpec, cfg: TrainConfig, num_batches: int
 ) -> Callable:
-    """Full-split evaluation in ONE dispatch with on-device accumulation.
+    """Full-split evaluation in a few bounded dispatches with on-device
+    accumulation.
 
     The reference's test loops accumulate per-class metrics on host, one
     D2H per batch (test_rotation.py:84-97). Here the padded test split is
@@ -180,9 +204,10 @@ def make_device_eval_runner(
     """
     loss_kw = _loss_kwargs(spec, cfg)
     C = cfg.num_classes
+    chunk = max(1, min(cfg.epoch_chunk, num_batches))
 
     @jax.jit
-    def eval_runner(state: PoseTrainState, data: dict, valid: jax.Array):
+    def eval_segment(state: PoseTrainState, data: dict, valid: jax.Array, init: dict):
         def one(carry, xs):
             batch, v = xs
             inputs, target = _prepare_inputs(spec, cfg, None, batch, train=False)
@@ -228,6 +253,10 @@ def make_device_eval_runner(
                 )
             return out, None
 
+        sums, _ = jax.lax.scan(one, init, (data, valid))
+        return sums
+
+    def _init_sums():
         D = 1 if spec.task == "width" else 3
         init = {
             "n": jnp.zeros((), jnp.float32),
@@ -239,7 +268,27 @@ def make_device_eval_runner(
             init["per_class_correct"] = jnp.zeros((C,), jnp.float32)
         else:
             init["per_class_abs_err"] = jnp.zeros((C, D), jnp.float32)
-        sums, _ = jax.lax.scan(one, init, (data, valid))
+        return init
+
+    def eval_runner(state: PoseTrainState, data: dict, valid: jax.Array):
+        # segment the batch axis like the train runner (bounded dispatches);
+        # the running sums chain through as a carried pytree
+        sums = _init_sums()
+        for lo in range(0, num_batches - num_batches % chunk, chunk):
+            sums = eval_segment(
+                state,
+                {k: v[lo : lo + chunk] for k, v in data.items()},
+                valid[lo : lo + chunk],
+                sums,
+            )
+        tail = num_batches % chunk
+        if tail:
+            sums = eval_segment(
+                state,
+                {k: v[num_batches - tail :] for k, v in data.items()},
+                valid[num_batches - tail :],
+                sums,
+            )
         return sums
 
     return eval_runner

@@ -28,114 +28,85 @@ def test_fps_pallas_custom_start():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-def test_ball_group_pallas_matches_reference():
-    from pointnet_like_pose_estimation_tpu.kernels.ball_group import ball_group_pallas
-    from pointnet_like_pose_estimation_tpu.ops import (
-        index_points,
-        query_ball_point,
-        sample_and_group,
-    )
+def test_ball_query_pallas_matches_reference():
+    """Kernel indices equal ops.query_ball_point exactly (K lowest in-ball,
+    pad-with-first — pointnet2_utils.py:70-90 semantics)."""
+    from pointnet_like_pose_estimation_tpu.kernels.ball_group import ball_query_pallas
+    from pointnet_like_pose_estimation_tpu.ops import query_ball_point
 
     rng = np.random.default_rng(5)
-    B, N, S, K, D = 2, 256, 32, 8, 5
+    B, N, K, D = 2, 256, 8, 4
     xyz = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
-    feats = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
     # centroids are actual cloud points (as FPS produces)
     cent = xyz[:, ::8, :]  # [B, 32, 3]
 
     for radius in (0.5, 1.5):
-        idx = query_ball_point(radius, K, xyz, cent)
-        want = index_points(xyz, idx) - cent[:, :, None, :]
-        want = jnp.concatenate([want, index_points(feats, idx)], axis=-1)
-        got = ball_group_pallas(
-            jnp.concatenate([xyz, feats], -1), cent, radius, K, 32, True
-        )
-        np.testing.assert_allclose(
-            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5,
-            err_msg=f"radius={radius}",
+        want = query_ball_point(radius, K, xyz, cent)
+        got = ball_query_pallas(xyz, cent, radius, K, 32, True)
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(want), err_msg=f"radius={radius}"
         )
 
-
-def test_ball_group_pallas_gradients_match_xla():
-    from pointnet_like_pose_estimation_tpu.kernels.ball_group import ball_group_pallas
-    from pointnet_like_pose_estimation_tpu.ops import index_points, query_ball_point
-
-    rng = np.random.default_rng(6)
-    B, N, S, K = 2, 128, 16, 8
-    xyz = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
-    cent = xyz[:, ::8, :]
-    radius = 0.8
-
-    def xla_path(p, c):
-        idx = query_ball_point(radius, K, p, c)
-        return jnp.sum(jnp.sin(index_points(p, idx) - c[:, :, None, :]))
-
-    def pallas_path(p, c):
-        return jnp.sum(jnp.sin(ball_group_pallas(p, c, radius, K, 16, True)))
-
-    ga = jax.grad(xla_path, argnums=(0, 1))(xyz, cent)
-    gb = jax.grad(pallas_path, argnums=(0, 1))(xyz, cent)
-    # d/dcentroids in the XLA path also flows through query_ball_point's
-    # comparison (zero) and the gather of p (via cent coming from p slices) —
-    # here cent is an independent input so both paths see only the -cent term
-    np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gb[0]), rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]), rtol=1e-4, atol=1e-5)
+    # multi-channel "points" (spliced one-hot): distances use ALL channels
+    onehot = np.zeros((B, N, D), np.float32)
+    onehot[:, :, 1] = 1.0
+    pts = jnp.concatenate([xyz, jnp.asarray(onehot)], -1)
+    cpad = jnp.concatenate([cent, jnp.asarray(onehot[:, ::8])], -1)
+    want = query_ball_point(0.8, K, pts, cpad)
+    got = ball_query_pallas(pts, cpad, 0.8, K, 32, True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-def test_ball_group_multi_matches_per_scale():
+def test_ball_query_multi_matches_per_scale():
     """The fused multi-scale kernel slice-for-slice equals per-scale calls
     (one distance eval shared across radii — SURVEY §7.7 fusion)."""
     from pointnet_like_pose_estimation_tpu.kernels.ball_group import (
-        ball_group_multi_pallas,
-        ball_group_pallas,
+        ball_query_multi_pallas,
+        ball_query_pallas,
     )
 
     rng = np.random.default_rng(11)
-    B, N, D = 2, 256, 5
+    B, N = 2, 256
     xyz = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
-    feats = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
-    cat = jnp.concatenate([xyz, feats], -1)
     cent = xyz[:, ::8, :]                                     # [B, 32, 3]
     radii, ks = (0.4, 0.8, 1.6), (4, 8, 16)
 
-    fused = ball_group_multi_pallas(cat, cent, radii, ks, 32, True)
-    assert fused.shape == (B, 32, sum(ks), 3 + D)
+    fused = ball_query_multi_pallas(xyz, cent, radii, ks, 32, True)
+    assert fused.shape == (B, 32, sum(ks))
     offset = 0
     for r, K in zip(radii, ks):
-        want = ball_group_pallas(cat, cent, r, K, 32, True)
-        np.testing.assert_allclose(
+        want = ball_query_pallas(xyz, cent, r, K, 32, True)
+        np.testing.assert_array_equal(
             np.asarray(fused[:, :, offset : offset + K]),
             np.asarray(want),
-            rtol=1e-5, atol=1e-6, err_msg=f"scale r={r}",
+            err_msg=f"scale r={r}",
         )
         offset += K
 
 
-def test_ball_group_multi_gradients_match_per_scale():
-    from pointnet_like_pose_estimation_tpu.kernels.ball_group import (
-        ball_group_multi_pallas,
-        ball_group_pallas,
-    )
+def test_grouping_gradients_pallas_dispatch_matches_xla():
+    """With grouping routed to the Pallas ball query, gradients of a
+    sample_and_group consumer equal the XLA path's: the kernel emits integer
+    indices, so the backward is XLA's own gather transpose (scatter-add) —
+    no custom VJP involved."""
+    from pointnet_like_pose_estimation_tpu.kernels import flags
+    from pointnet_like_pose_estimation_tpu.ops import sample_and_group
 
-    rng = np.random.default_rng(12)
-    B, N = 2, 128
-    xyz = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
-    cent = xyz[:, ::8, :]
-    radii, ks = (0.6, 1.2), (4, 8)
+    rng = np.random.default_rng(6)
+    pts = jnp.asarray(rng.standard_normal((2, 128, 3)), jnp.float32)
 
-    def fused_loss(p, c):
-        return jnp.sum(jnp.sin(ball_group_multi_pallas(p, c, radii, ks, 16, True)))
+    def loss(p):
+        _, g = sample_and_group(p, None, 16, 8, 0.8)
+        return jnp.sum(jnp.sin(g))
 
-    def per_scale_loss(p, c):
-        return sum(
-            jnp.sum(jnp.sin(ball_group_pallas(p, c, r, K, 16, True)))
-            for r, K in zip(radii, ks)
-        )
-
-    ga = jax.grad(fused_loss, argnums=(0, 1))(xyz, cent)
-    gb = jax.grad(per_scale_loss, argnums=(0, 1))(xyz, cent)
-    np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gb[0]), rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]), rtol=1e-4, atol=1e-5)
+    flags.set_impls(grouping="xla")
+    try:
+        ga = jax.grad(loss)(pts)
+        flags.set_impls(grouping="pallas_interpret")
+        gb = jax.grad(loss)(pts)
+    finally:
+        flags.set_impls(grouping="auto")
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-4, atol=1e-5)
 
 
 def test_kernels_lower_and_run_on_tpu():
@@ -147,8 +118,8 @@ def test_kernels_lower_and_run_on_tpu():
     if jax.default_backend() not in ("tpu", "axon"):
         pytest.skip("needs a real TPU backend (runs in scripts/tpu_checks.py)")
 
-    from pointnet_like_pose_estimation_tpu.kernels.ball_group import ball_group_pallas
-    from pointnet_like_pose_estimation_tpu.ops import index_points, query_ball_point
+    from pointnet_like_pose_estimation_tpu.kernels.ball_group import ball_query_pallas
+    from pointnet_like_pose_estimation_tpu.ops import query_ball_point
 
     from pointnet_like_pose_estimation_tpu.kernels import flags
 
@@ -164,10 +135,13 @@ def test_kernels_lower_and_run_on_tpu():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
     cent = pts[:, :128, :]
-    g = ball_group_pallas(pts, cent, 0.4, 32, 128, False)
-    idx = query_ball_point(0.4, 32, pts, cent)
-    want_g = index_points(pts, idx) - cent[:, :, None, :]
-    np.testing.assert_allclose(np.asarray(g), np.asarray(want_g), rtol=1e-4, atol=1e-5)
+    idx = ball_query_pallas(pts, cent, 0.4, 32)
+    flags.set_impls(grouping="xla")  # oracle must NOT auto-dispatch back
+    try:
+        want_idx = query_ball_point(0.4, 32, pts, cent)
+    finally:
+        flags.set_impls(grouping="auto")
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_idx))
 
 
 def test_sample_and_group_pallas_dispatch_matches_xla():
