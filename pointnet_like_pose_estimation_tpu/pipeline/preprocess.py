@@ -221,6 +221,17 @@ def dbscan(
             pass
     xyz = points[:, :3].astype(np.float64)
     n = len(xyz)
+    if n > 50_000:
+        import warnings
+
+        warnings.warn(
+            f"numpy DBSCAN fallback on {n} points (per-point Python loop; "
+            "real-frame scale ~300k points takes minutes). The native kernel "
+            "(native/pcnative.cpp) is auto-built by pipeline.native_dbscan on "
+            "first use — this fallback means that g++ build failed.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     neigh = _neighbor_counts_and_lists(xyz, eps)
     core = np.array([len(v) >= min_points for v in neigh])
     labels = np.full(n, -1, np.int64)
