@@ -1,0 +1,134 @@
+"""Data-parallel scaling methodology (VERDICT r1 item 8 / BASELINE.md
+north-star: >=90% linear clouds/s efficiency).
+
+Real multi-chip hardware is not available in this environment, so this
+records the measurable proxy now and fixes the methodology for when it is.
+On the virtual d-device CPU mesh every "device" shares the same physical
+cores, so wall-clock weak scaling is meaningless (d x the work on the same
+cores is ~d x the time by construction). The honest structural proxy is the
+SHARDING OVERHEAD FACTOR:
+
+    overhead(d) = t_mesh(d devices, global batch G) / t_single(1 device, G)
+
+— same total FLOPs on the same cores; anything above 1.0 is the cost the
+mesh program adds (collectives, partitioning, layout changes). A clean DP
+program stays near 1.0, which on a real slice (where each device has its own
+chip) translates to near-linear clouds/s. The BASELINE.md table is produced
+by re-running this script on a real slice, where t_single stays at batch G/d
+per chip and the efficiency column = t_single / t_mesh directly.
+
+Writes log/bench_scaling.json.
+
+Run: python benchmarks/bench_scaling.py  (CPU-safe; forces the virtual mesh)
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_platforms", "cpu")
+
+from pointnet_like_pose_estimation_tpu.models import get_model_spec
+from pointnet_like_pose_estimation_tpu.parallel import (
+    make_mesh,
+    make_parallel_train_step,
+    replicate,
+    shard_batch,
+)
+from pointnet_like_pose_estimation_tpu.train import TrainConfig
+from pointnet_like_pose_estimation_tpu.train.loop import build_state
+
+
+def _batch(rng, bs, num_points):
+    return {
+        "points": jnp.asarray(rng.standard_normal((bs, num_points, 3)), jnp.float32),
+        "labels": jnp.asarray(rng.integers(0, 7, bs), jnp.int32),
+        "rot": jnp.zeros((bs, 3), jnp.float32),
+        "tran": jnp.zeros((bs, 3), jnp.float32),
+        "sign": jnp.ones((bs,), jnp.float32),
+        "width": jnp.zeros((bs, 1), jnp.float32),
+    }
+
+
+def step_time(d: int, global_bs: int, num_points: int,
+              model="pointnet2_cls_ssg", iters=3):
+    """Mean train-step seconds for global batch ``global_bs`` on a d-device
+    'data' mesh (d=1 is the single-device baseline program)."""
+    rng = np.random.default_rng(0)
+    cfg = TrainConfig.for_model(model, num_points=num_points, batch_size=global_bs)
+    spec, _, state = build_state(cfg)
+    mesh = make_mesh({"data": d}, devices=jax.devices()[:d])
+    state = replicate(state, mesh)
+    step = make_parallel_train_step(get_model_spec(cfg.model), cfg, mesh)
+    batch = shard_batch(_batch(rng, global_bs, num_points), mesh)
+    state, m = step(state, batch)
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch)
+    jax.block_until_ready(m["loss"])
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    per_device_bs = int(os.environ.get("PLPE_SCALING_BS", 8))
+    # CPU default trimmed to keep the structural check fast; on a real slice
+    # set PLPE_SCALING_N=1024 PLPE_SCALING_BS=32 for the BASELINE.md table
+    num_points = int(os.environ.get("PLPE_SCALING_N", 256))
+    platform = jax.devices()[0].platform
+    n = len(jax.devices())
+    sizes = [d for d in (2, 4, 8) if d <= n]
+    print(f"platform={platform} devices={n} per_device_batch={per_device_bs} "
+          f"num_points={num_points}", file=sys.stderr)
+    rows = {}
+    for d in sizes:
+        g = d * per_device_bs
+        t_single = step_time(1, g, num_points)
+        t_mesh = step_time(d, g, num_points)
+        overhead = t_mesh / t_single
+        rows[d] = {
+            "global_batch": g,
+            "t_single_device_s": t_single,
+            "t_mesh_s": t_mesh,
+            "sharding_overhead_factor": overhead,
+        }
+        print(f"d={d} G={g}: single {t_single*1e3:8.1f} ms, mesh "
+              f"{t_mesh*1e3:8.1f} ms -> overhead x{overhead:.2f}",
+              file=sys.stderr)
+    out = {
+        "platform": platform,
+        "mode": "sharding-overhead (same global batch, mesh vs single device)",
+        "model": "pointnet2_cls_ssg",
+        "per_device_batch": per_device_bs,
+        "num_points": num_points,
+        "results": rows,
+        "note": (
+            "virtual CPU mesh shares physical cores: overhead ~1.0 means the "
+            "DP program adds no serialized work; real-slice efficiency = "
+            "1/overhead measured there (BASELINE.md >=90% target)."
+        ),
+    }
+    os.makedirs("log", exist_ok=True)
+    with open("log/bench_scaling.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(
+        {d: round(v["sharding_overhead_factor"], 3) for d, v in rows.items()}
+    ))
+
+
+if __name__ == "__main__":
+    main()
