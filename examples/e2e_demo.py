@@ -16,30 +16,42 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# honor JAX_PLATFORMS=cpu even though the image pins the tunneled-TPU
+# platform programmatically (the pin must land before backend init)
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 
 def build_scene(seed=0):
+    """Table + two objects in the TRAINING world convention (the RealSense
+    flip makes z negative, realsense.py:90; the generators place objects at
+    x,y in ±0.5, z in [-1, -0.6], build_data.py:62-174): camera at the
+    origin looking down -z, table plane at z=-0.7, objects in front of it."""
     from pointnet_like_pose_estimation_tpu.data import generators
 
     rng = np.random.default_rng(seed)
-    # table plane at z=0.7, 1m x 1m
     n_plane = 20000
     table = np.column_stack(
         [
             rng.uniform(-0.5, 0.5, n_plane),
             rng.uniform(-0.5, 0.5, n_plane),
-            np.full(n_plane, 0.7) + rng.normal(0, 0.0015, n_plane),
+            np.full(n_plane, -0.7) + rng.normal(0, 0.0015, n_plane),
         ]
     )
     objects = []
     for cat, pos in [("cube", (-0.15, 0.1)), ("cylinder", (0.2, -0.05))]:
         p = generators.sample_category_params(cat, rng)
-        dense = generators.dense_surface(p)
+        # single-view capture sim, like every training cloud (clip_half keeps
+        # the camera-facing upper-z half, Cube.py:74-79)
+        dense = generators.clip_half(generators.dense_surface(p))
         dense = dense[rng.choice(len(dense), min(4000, len(dense)), replace=False)]
-        dense = dense + np.array([pos[0], pos[1], 0.66])  # sit on the table
+        dense = dense + np.array([pos[0], pos[1], -0.66])  # in front of table
         objects.append(dense)
-    scatter = rng.uniform(-1, 1, (60, 3)) + [0, 0, 1.5]  # sparse far outliers
+    scatter = rng.uniform(-1, 1, (60, 3)) + [0, 0, -1.5]  # sparse far outliers
     return np.concatenate([table, *objects, scatter]).astype(np.float32)
 
 
@@ -55,7 +67,7 @@ def main():
 
     enable_compile_cache()
     cfg = PipelineConfig(
-        clip_range=(0.0, 1.0),
+        clip_range=(-1.0, 0.0),
         min_points=300,
         radius_nb_points=60,
         radius=0.03,

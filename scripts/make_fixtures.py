@@ -33,36 +33,41 @@ PPX, PPY = W / 2.0, H / 2.0
 
 
 def build_scene(rng):
-    """e2e_demo scene with per-object ground truth kept."""
+    """e2e_demo scene, TRAINING world convention (RealSense flip -> negative
+    z, realsense.py:90; generators place objects at z in [-1, -0.6]): camera
+    at the origin looking down -z, table at z=-0.7, objects in front."""
     from pointnet_like_pose_estimation_tpu.data import generators
 
     n_plane = 12000
     table = np.column_stack([
         rng.uniform(-0.5, 0.5, n_plane),
         rng.uniform(-0.5, 0.5, n_plane),
-        np.full(n_plane, 0.7) + rng.normal(0, 0.0015, n_plane),
+        np.full(n_plane, -0.7) + rng.normal(0, 0.0015, n_plane),
     ])
     objects, meta = [], []
     for cat, pos in [("cube", (-0.15, 0.1)), ("cylinder", (0.2, -0.05))]:
         p = generators.sample_category_params(cat, rng)
-        dense = generators.dense_surface(p)
+        # single-view capture sim, like every training cloud (clip_half keeps
+        # the camera-facing upper-z half, Cube.py:74-79)
+        dense = generators.clip_half(generators.dense_surface(p))
         dense = dense[rng.choice(len(dense), min(3000, len(dense)), replace=False)]
-        dense = dense + np.array([pos[0], pos[1], 0.66])
+        dense = dense + np.array([pos[0], pos[1], -0.66])
         objects.append(dense)
         meta.append({
             "category": cat,
             "centroid": np.mean(dense, axis=0).round(4).tolist(),
             "num_points": int(len(dense)),
         })
-    scatter = rng.uniform(-1, 1, (60, 3)) + [0, 0, 1.5]
+    scatter = rng.uniform(-1, 1, (60, 3)) + [0, 0, -1.5]
     scene = np.concatenate([table, *objects, scatter]).astype(np.float32)
     return scene, meta
 
 
 def zbuffer_depth(scene):
     """Project the scene into a raw uint16 depth image (mm), pinhole model —
-    the exact inverse of pipeline.deproject_depth(flip_yz=False)."""
-    x, y, z = scene[:, 0], scene[:, 1], scene[:, 2]
+    the exact inverse of pipeline.deproject_depth(flip_yz=True): camera at
+    the origin looking down -z_world (x_cam = x, y_cam = -y, z_cam = -z)."""
+    x, y, z = scene[:, 0], -scene[:, 1], -scene[:, 2]
     keep = z > 0.05
     x, y, z = x[keep], y[keep], z[keep]
     u = np.round(x * FX / z + PPX).astype(np.int64)
@@ -92,7 +97,7 @@ def main():
             "color_fx": FX, "color_fy": FY, "color_ppx": PPX, "color_ppy": PPY,
         }, f, indent=2)
     with open(os.path.join(FIX, "scene_meta.json"), "w") as f:
-        json.dump({"objects": meta, "table_z": 0.7, "seed": 0}, f, indent=2)
+        json.dump({"objects": meta, "table_z": -0.7, "seed": 0}, f, indent=2)
     print(f"wrote fixtures to {FIX}: ply={len(scene)} pts, depth={depth.shape}, "
           f"{int((depth > 0).sum())} valid px")
 

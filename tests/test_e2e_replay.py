@@ -43,7 +43,7 @@ def test_replay_to_grasp_pipeline():
     )
 
     cfg = PipelineConfig(
-        clip_range=(0.0, 1.0), min_points=200, radius_nb_points=60,
+        clip_range=(-1.0, 0.0), min_points=200, radius_nb_points=60,
         radius=0.03, eps=0.04,
     )
     pipe = GraspPipeline.from_random(cfg)
@@ -77,11 +77,11 @@ def test_depth_fixture_deprojects_and_clusters():
 
     intr = CameraIntrinsics.from_json(os.path.join(FIX, "camera.json"))
     depth = np.load(os.path.join(FIX, "depth_scene.npz"))["depth"]
-    pts = np.asarray(deproject_depth(depth, intr, flip_yz=False))
-    pts = pts[pts[:, 2] > 0]  # drop zero-depth pixels
+    pts = np.asarray(deproject_depth(depth, intr, flip_yz=True))
+    pts = pts[pts[:, 2] < 0]  # drop zero-depth pixels (flip makes depth<0)
     assert len(pts) > 5000
 
-    pts = clip_distance(pts, (0.0, 1.0), axis=2)
+    pts = clip_distance(pts, (-1.0, 0.0), axis=2)
     pts = remove_plane(pts, distance_threshold=0.006, num_iterations=500, seed=0)
     pts = remove_radius_outlier(pts, nb_points=10, radius=0.03)
     clusters = cluster_point(pts, eps=0.035, min_points=60)
@@ -125,7 +125,7 @@ def test_replay_pipeline_with_trained_models():
     )
 
     cfg = PipelineConfig(
-        clip_range=(0.0, 1.0), min_points=200, radius_nb_points=60,
+        clip_range=(-1.0, 0.0), min_points=200, radius_nb_points=60,
         radius=0.03, eps=0.04, classifier="pointnet2_cls_ssg",
     )
     pipe = GraspPipeline.from_checkpoints(cfg, ckpts)
@@ -137,3 +137,16 @@ def test_replay_pipeline_with_trained_models():
     want_cats = sorted(o["category"] for o in meta)
     got_cats = sorted(CATEGORIES[int(c)] for c in out["pred_class"])
     assert got_cats == want_cats, (got_cats, want_cats)
+
+    # pose error bounds: predicted translation localizes each object to
+    # within 12 cm per axis of its ground-truth centroid (test metric is
+    # ~3 cm/axis in-distribution; the fixture scene adds clustering noise),
+    # and the unrotated objects' observable Euler angles stay under 15 deg
+    # (z excluded: the cylinder's z-rotation is unobservable by symmetry)
+    order_got = np.argsort(out["translation"][:, 0])
+    order_want = np.argsort([o["centroid"][0] for o in meta])
+    tr = np.asarray(out["translation"])[order_got]
+    want_tr = np.array([meta[i]["centroid"] for i in order_want])
+    np.testing.assert_allclose(tr, want_tr, atol=0.12)
+    rot = np.abs(np.asarray(out["rotation_deg"]))[:, :2]
+    assert rot.max() < 15.0, rot
