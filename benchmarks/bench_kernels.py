@@ -7,9 +7,13 @@ Covers the two hot ops of every set-abstraction layer (SURVEY §3.3):
   Roofline: each iteration touches (C+1)·B·N f32 in VMEM — the op is
   loop-latency bound, not bandwidth bound, so the metric that matters is
   per-iteration latency.
-- ball-query+group (kernels/ball_group.py): HBM traffic lower bound is one
-  read of points [B,N,C] + one write of groups [B,S,K,C]; the XLA path adds
-  a [B,S,N] distance matrix round-trip and top_k.
+- ball query (kernels/ball_group.py): emits [B,S,K] int32 indices with the
+  [T,N] distance tile VMEM-resident. HBM traffic lower bound is one read of
+  points [B,N,P] + one write of the indices; the XLA path round-trips the
+  [B,S,N] f32 distance matrix through HBM and runs top_k over it.
+- multi-scale fusion: one kernel invocation serves every MSG radius scale
+  off a single distance evaluation vs L per-scale XLA queries
+  (reference recomputes per scale, pointnet2_utils.py:203-219).
 
 Run: python benchmarks/bench_kernels.py  (TPU; slow first compile)
 """
@@ -39,7 +43,11 @@ def _time(fn, *args, iters=30):
 
 def main():
     enable_compile_cache()
-    from pointnet_like_pose_estimation_tpu.kernels.ball_group import ball_group_pallas
+    from pointnet_like_pose_estimation_tpu.kernels import flags
+    from pointnet_like_pose_estimation_tpu.kernels.ball_group import (
+        ball_query_multi_pallas,
+        ball_query_pallas,
+    )
     from pointnet_like_pose_estimation_tpu.kernels.fps import fps_pallas
     from pointnet_like_pose_estimation_tpu.ops import (
         farthest_point_sample,
@@ -49,44 +57,93 @@ def main():
 
     report = {}
     key = jax.random.PRNGKey(0)
+    # pin the XLA impls so the "xla" side never auto-dispatches to Pallas
+    flags.set_impls(fps="xla", grouping="xla")
+    try:
+        # --- FPS ---
+        for B, N, S in [(24, 1024, 512), (64, 1024, 512), (64, 4096, 1024)]:
+            pts = jax.random.normal(key, (B, N, 3))
+            t_x = _time(jax.jit(lambda p: farthest_point_sample(p, S)), pts)
+            t_p = _time(jax.jit(lambda p: fps_pallas(p, S)), pts)
+            tag = f"fps_b{B}_n{N}_s{S}"
+            report[tag] = {
+                "xla_ms": round(t_x * 1e3, 3),
+                "pallas_ms": round(t_p * 1e3, 3),
+                "speedup": round(t_x / t_p, 2),
+                "pallas_us_per_iter": round(t_p / S * 1e6, 3),
+            }
 
-    # --- FPS ---
-    for B, N, S in [(24, 1024, 512), (64, 1024, 512), (64, 4096, 1024)]:
-        pts = jax.random.normal(key, (B, N, 3))
-        t_x = _time(jax.jit(lambda p: farthest_point_sample(p, S)), pts)
-        t_p = _time(jax.jit(lambda p: fps_pallas(p, S)), pts)
-        tag = f"fps_b{B}_n{N}_s{S}"
-        report[tag] = {
+        # --- ball query (index-only) ---
+        for B, N, P, S, K, r in [
+            (24, 1024, 3, 512, 32, 0.2),    # SSG sa1
+            (64, 512, 3, 128, 64, 0.4),     # SSG sa2 centroid count
+            (24, 1024, 10, 512, 128, 0.4),  # MSG large-K scale, spliced chans
+        ]:
+            p = jax.random.normal(key, (B, N, P))
+            c = p[:, :S, :]
+            t_x = _time(jax.jit(lambda p, c: query_ball_point(r, K, p, c)), p, c)
+            t_p = _time(
+                jax.jit(lambda p, c: ball_query_pallas(p, c, r, K, 128, False)), p, c
+            )
+            # pallas HBM bound: read points + centroids, write int32 idx;
+            # xla adds the [B,S,N] f32 matrix write+read (v5e ~819 GB/s)
+            pallas_bytes = 4 * (B * N * P + B * S * P + B * S * K)
+            tag = f"ballquery_b{B}_n{N}_p{P}_s{S}_k{K}"
+            report[tag] = {
+                "xla_ms": round(t_x * 1e3, 3),
+                "pallas_ms": round(t_p * 1e3, 3),
+                "speedup": round(t_x / t_p, 2),
+                "pallas_frac_sol": round(pallas_bytes / 819e9 / t_p, 3),
+            }
+
+        # --- multi-scale fusion (MSG layer 1 shape: 3 scales, one cloud) ---
+        B, N, S = 24, 1024, 512
+        radii, ks = (0.1, 0.2, 0.4), (16, 32, 128)
+        p = jax.random.normal(key, (B, N, 3))
+        c = p[:, :S, :]
+
+        def xla_multi(p, c):
+            return [query_ball_point(r, k, p, c) for r, k in zip(radii, ks)]
+
+        t_x = _time(jax.jit(xla_multi), p, c)
+        t_p = _time(
+            jax.jit(lambda p, c: ball_query_multi_pallas(p, c, radii, ks)), p, c
+        )
+        t_per_scale = _time(
+            jax.jit(
+                lambda p, c: [
+                    ball_query_pallas(p, c, r, k) for r, k in zip(radii, ks)
+                ]
+            ),
+            p,
+            c,
+        )
+        report["msg_fused_3scale_b24_n1024_s512"] = {
+            "xla_per_scale_ms": round(t_x * 1e3, 3),
+            "pallas_per_scale_ms": round(t_per_scale * 1e3, 3),
+            "pallas_fused_ms": round(t_p * 1e3, 3),
+            "fused_vs_xla": round(t_x / t_p, 2),
+            "fused_vs_pallas_per_scale": round(t_per_scale / t_p, 2),
+        }
+
+        # --- end-to-end sample_and_group (query + gather + center), both
+        # dispatches — what the SA layers actually execute ---
+        from pointnet_like_pose_estimation_tpu.ops import sample_and_group
+
+        p3 = jax.random.normal(key, (24, 1024, 3))
+        sg = jax.jit(lambda p: sample_and_group(p, None, 512, 32, 0.2)[1])
+        t_x = _time(sg, p3)
+        flags.set_impls(fps="pallas", grouping="pallas")
+        sg_p = jax.jit(lambda p: sample_and_group(p, None, 512, 32, 0.2)[1])
+        t_p = _time(sg_p, p3)
+        flags.set_impls(fps="xla", grouping="xla")
+        report["sample_and_group_b24_n1024_s512_k32"] = {
             "xla_ms": round(t_x * 1e3, 3),
             "pallas_ms": round(t_p * 1e3, 3),
             "speedup": round(t_x / t_p, 2),
-            "pallas_us_per_iter": round(t_p / S * 1e6, 3),
         }
-
-    # --- ball query + group (+center) ---
-    def xla_group(p, c, r, k):
-        idx = query_ball_point(r, k, p[..., :3], c)
-        return index_points(p, idx).at[..., :3].add(-c[:, :, None, :])
-
-    for B, N, C, S, K, r in [
-        (24, 1024, 3, 512, 32, 0.2),    # SSG sa1
-        (64, 512, 131, 128, 64, 0.4),   # SSG sa2 (feature-heavy)
-        (24, 1024, 10, 512, 128, 0.4),  # MSG large-K scale
-    ]:
-        p = jax.random.normal(key, (B, N, C))
-        c = p[:, :S, :3]
-        t_x = _time(jax.jit(lambda p, c: xla_group(p, c, r, K)), p, c)
-        t_p = _time(jax.jit(lambda p, c: ball_group_pallas(p, c, r, K, 128, False)), p, c)
-        out_bytes = 4 * B * S * K * C
-        in_bytes = 4 * B * N * C
-        tag = f"ballgroup_b{B}_n{N}_c{C}_s{S}_k{K}"
-        report[tag] = {
-            "xla_ms": round(t_x * 1e3, 3),
-            "pallas_ms": round(t_p * 1e3, 3),
-            "speedup": round(t_x / t_p, 2),
-            # fraction of the HBM-traffic lower bound achieved (v5e ~819 GB/s)
-            "pallas_frac_sol": round((in_bytes + out_bytes) / 819e9 / t_p, 3),
-        }
+    finally:
+        flags.set_impls(fps="auto", grouping="auto")
 
     print(json.dumps(report, indent=2))
     with open(os.path.join(os.path.dirname(__file__), "bench_kernels.json"), "w") as f:

@@ -82,9 +82,30 @@ def main(B=3, N=10240):
         "N": N,
         "fused_4head_ms": t_fused * 1e3,
         "sequential_4head_ms": t_seq * 1e3,
+        "fused_vs_sequential": t_seq / t_fused,
         "device": str(jax.devices()[0]),
+        "num_devices": len(jax.devices()),
     }
+
+    # MPMD fan-out (one head per device; on a single chip it degrades to the
+    # async-dispatch pipeline — the reference's 4-GPU-thread analog)
+    from pointnet_like_pose_estimation_tpu.parallel import MultiHeadParallel
+
+    cfg = TrainConfig.for_model("pointnet2_cls_ssg", num_points=N)
+    _, cls_model, cls_state = build_state(cfg)
+    models = dict(heads)
+    models["classifier"] = (
+        cls_model,
+        {"params": cls_state.params, "batch_stats": cls_state.batch_stats},
+    )
+    mh = MultiHeadParallel(models, num_classes=7)
+    xyz = jnp.ones((B, N, 3), jnp.float32)
+    t_mpmd = _time(lambda a: mh(a), xyz)
+    report["mpmd_5model_ms"] = t_mpmd * 1e3
     print(json.dumps(report, indent=2))
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_multihead.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
     return report
 
 
