@@ -58,13 +58,15 @@ def _fake_batch(rng, bs, n=1024):
     }
 
 
-def _train_step_time(model_name, bs, rng, iters=30):
+def _train_step_time(model_name, bs, rng, iters=30, dtype="float32"):
     """(seconds/step, flops/step) for a jitted full train step."""
     from pointnet_like_pose_estimation_tpu.models import get_model_spec
     from pointnet_like_pose_estimation_tpu.train import TrainConfig, make_train_step
     from pointnet_like_pose_estimation_tpu.train.loop import build_state
 
-    cfg = TrainConfig.for_model(model_name, num_points=1024, batch_size=bs)
+    cfg = TrainConfig.for_model(
+        model_name, num_points=1024, batch_size=bs, dtype=dtype
+    )
     spec, _, state = build_state(cfg)
     step = make_train_step(spec, cfg)
     batch = _fake_batch(rng, bs)
@@ -92,17 +94,31 @@ def headline(report):
     dt, flops = _train_step_time("pointnet2_cls_ssg", bs, rng)
     clouds_per_s = bs / dt
     mfu_f32 = flops / dt / V5E_PEAK_FLOPS["f32"] if flops else None
-    report["pn2_ssg_train_b256_step_s"] = dt
-    report["pn2_ssg_train_clouds_per_s"] = clouds_per_s
-    report["pn2_ssg_train_step_flops"] = flops
-    report["pn2_ssg_train_mfu_vs_f32_peak"] = mfu_f32
+    report[f"pn2_ssg_train_b{bs}_step_s"] = dt
+    report[f"pn2_ssg_train_b{bs}_clouds_per_s"] = clouds_per_s
+    report[f"pn2_ssg_train_b{bs}_step_flops"] = flops
+    report[f"pn2_ssg_train_b{bs}_mfu_vs_f32_peak"] = mfu_f32
     print(
         f"pn2_ssg train B={bs}: {dt*1e3:.2f} ms/step = {clouds_per_s:,.0f} "
         f"clouds/s/chip; step flops={flops:.3e}, MFU(f32 peak)="
         f"{(mfu_f32 or 0)*100:.1f}%",
         file=sys.stderr,
     )
-    return clouds_per_s
+    # bf16 compute row (params/BN stay f32; matmuls/convs run bf16)
+    dt16, flops16 = _train_step_time(
+        "pointnet2_cls_ssg", bs, rng, dtype="bfloat16"
+    )
+    report[f"pn2_ssg_train_b{bs}_bf16_step_s"] = dt16
+    report[f"pn2_ssg_train_b{bs}_bf16_clouds_per_s"] = bs / dt16
+    report[f"pn2_ssg_train_b{bs}_bf16_mfu_vs_bf16_peak"] = (
+        flops16 / dt16 / V5E_PEAK_FLOPS["bf16"] if flops16 else None
+    )
+    print(
+        f"pn2_ssg train B={bs} bf16: {dt16*1e3:.2f} ms/step = "
+        f"{bs/dt16:,.0f} clouds/s/chip",
+        file=sys.stderr,
+    )
+    return bs, clouds_per_s
 
 
 def extended(report):
@@ -185,7 +201,7 @@ def extended(report):
 def main():
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     report = {"device": str(jax.devices()[0])}
-    clouds_per_s = headline(report)
+    bs, clouds_per_s = headline(report)
     if os.environ.get("BENCH_FULL"):
         extended(report)
     with open("benchmarks_extended.json", "w") as f:
@@ -193,7 +209,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "pn2_ssg_train_clouds_per_s_per_chip_b256",
+                "metric": f"pn2_ssg_train_clouds_per_s_per_chip_b{bs}",
                 "value": round(clouds_per_s, 1),
                 "unit": "clouds/s",
                 "vs_baseline": round(clouds_per_s / BASELINE_CLOUDS_PER_S, 2),

@@ -93,8 +93,10 @@ def _ball_query_kernel(
             def _():
                 fidx_ref[...] = cur
 
-            idx_ref[0, 0, k_offset + k] = jnp.where(
-                empty, fidx_ref[...], cur
+            # clamp the fully-empty-ball case (fidx == sentinel) to N-1 so
+            # every impl agrees on the degenerate case (see ops.grouping)
+            idx_ref[0, 0, k_offset + k] = jnp.minimum(
+                jnp.where(empty, fidx_ref[...], cur), sentinel - 1
             ).reshape(T)
             sel_ref[...] = jnp.maximum(
                 sel_ref[...], (lane_idx == cur).astype(jnp.float32)

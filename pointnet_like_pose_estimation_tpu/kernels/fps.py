@@ -99,15 +99,29 @@ def fps_pallas(
         start_idx = jnp.zeros((B,), jnp.int32)
     # whole batch in one program when it fits; otherwise row tiles. State per
     # row ≈ (C+1)·N·4 bytes -> 16 KB at N=1024, so 256 rows stay under 4 MB.
-    tile = B
+    # Mosaic requires the block's sublane dim (rows) divisible by 8 unless it
+    # equals the array dim, so the batch is padded to a multiple of 8 (pad
+    # rows repeat row 0; their outputs are discarded) and the tile is the
+    # largest multiple of 8 within budget that divides the padded batch.
     max_rows = max(1, (4 * 2**20) // ((C + 1) * N * 4))
-    while tile > max_rows or B % tile:
-        tile -= 1
+    if B <= max_rows:
+        tile, Bp = B, B
+    else:
+        Bp = -(-B // 8) * 8
+        tile = max((t for t in range(8, max_rows + 1, 8) if Bp % t == 0),
+                   default=8)
     pts = jnp.swapaxes(points.astype(jnp.float32), 1, 2)      # [B, C, N]
+    if Bp != B:
+        pts = jnp.concatenate(
+            [pts, jnp.broadcast_to(pts[:1], (Bp - B, C, N))], axis=0
+        )
+        start_idx = jnp.concatenate(
+            [start_idx, jnp.zeros((Bp - B,), start_idx.dtype)]
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # start indices land in SMEM, whole vector
-        grid=(B // tile,),
+        grid=(Bp // tile,),
         in_specs=[
             pl.BlockSpec((tile, C, N), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -122,7 +136,7 @@ def fps_pallas(
     out = pl.pallas_call(
         functools.partial(_fps_kernel, num_samples=num_samples, tile=tile),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, num_samples), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Bp, num_samples), jnp.int32),
         interpret=interpret,
     )(start_idx.astype(jnp.int32), pts)
-    return out
+    return out[:B]

@@ -75,7 +75,10 @@ def query_ball_point(
     neg_topk, _ = jax.lax.top_k(-keys, num_neighbors)         # [B, S, K]
     idx = -neg_topk
     first = idx[..., :1]
-    return jnp.where(idx == N, first, idx)
+    # a fully-empty ball would pad with the sentinel N itself (the reference
+    # would crash on the subsequent gather); clamp to N-1 so every impl —
+    # XLA, Pallas, sharded owner_gather — agrees on the degenerate case
+    return jnp.minimum(jnp.where(idx == N, first, idx), N - 1)
 
 
 def query_ball_point_chunked(

@@ -169,6 +169,9 @@ def sharded_sample_and_group(
         idx = -neg_topk                                       # [B, S, K] global
         first = idx[..., :1]
         idx = jnp.where(idx == sentinel, first, idx)          # pad-with-first
+        # fully-empty ball: clamp the residual sentinel to N-1 so the
+        # owner_gather agrees with the XLA/Pallas paths (ops/grouping.py)
+        idx = jnp.minimum(idx, sentinel - 1)
 
         grouped = owner_gather(pts, idx) - cent[:, :, None, :]
         if feats is not None:

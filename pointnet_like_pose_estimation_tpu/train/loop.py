@@ -258,7 +258,12 @@ def train(
     # device-resident fast path: dataset in HBM, one dispatch per epoch/eval
     # (per-step dispatch is latency-bound over a tunneled TPU — see
     # steps.make_device_epoch_runner)
-    use_device_data = cfg.device_data and not cfg.data_parallel
+    # the device epoch runner draws num_steps*B permutation indices, so it
+    # needs at least one full batch; smaller datasets fall back to the
+    # per-step loop (which degrades gracefully to zero steps)
+    use_device_data = (
+        cfg.device_data and not cfg.data_parallel and len(train_ds) >= cfg.batch_size
+    )
     epoch_runner = (
         make_device_epoch_runner(spec, cfg, steps_per_epoch) if use_device_data else None
     )
@@ -335,7 +340,14 @@ def train(
                 if best_metric is None or (cur > best_metric if higher else cur < best_metric):
                     best_metric = cur
                     save_checkpoint(os.path.join(ckpt, "best.msgpack"), state, epoch, cur)
-            if (epoch + 1) % cfg.ckpt_every == 0 or epoch == cfg.epochs - 1:
+            # on preemption always persist the finished epoch — with the
+            # device runner the guard is only consulted at epoch boundaries,
+            # so skipping the off-cadence save could lose ckpt_every epochs
+            if (
+                (epoch + 1) % cfg.ckpt_every == 0
+                or epoch == cfg.epochs - 1
+                or guard.preempted
+            ):
                 save_checkpoint(latest, state, epoch, row.get("train_loss", 0.0))
             history.append(row)
             log.info("%s", row)

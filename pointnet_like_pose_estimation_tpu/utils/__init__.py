@@ -3,7 +3,13 @@
 from pointnet_like_pose_estimation_tpu.utils.profiling import (
     StepTimer,
     enable_compile_cache,
+    respect_platform_env,
     trace,
 )
 
-__all__ = ["StepTimer", "enable_compile_cache", "trace"]
+__all__ = [
+    "StepTimer",
+    "enable_compile_cache",
+    "respect_platform_env",
+    "trace",
+]

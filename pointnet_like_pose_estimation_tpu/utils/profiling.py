@@ -22,6 +22,16 @@ def enable_compile_cache(path: str = "/tmp/jax_cache") -> None:
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    respect_platform_env()
+
+
+def respect_platform_env() -> None:
+    """Honor ``JAX_PLATFORMS`` even where the image pins ``jax_platforms``
+    outside the environment (the tunneled-TPU default otherwise wins, and a
+    user asking for ``JAX_PLATFORMS=cpu`` would silently get the TPU)."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        jax.config.update("jax_platforms", want)
 
 
 @contextlib.contextmanager

@@ -1,4 +1,4 @@
-"""Render log/round2_results.json into the BASELINE.md north-star table.
+"""Render log/round{2,3}_results.json into the BASELINE.md north-star table.
 
 Metric conventions follow the reference eval scripts: instance/class accuracy
 (test_classification.py:144-155), per-axis mean absolute rotation error in
@@ -32,6 +32,7 @@ ROWS = [
     ("translation_ssg", "cm"),
     ("translation_msg", "cm"),
     ("width", "m"),
+    ("pose", "deg"),
 ]
 
 
@@ -59,18 +60,28 @@ def fmt(model, kind, rec):
 
 
 def main():
-    with open("log/round2_results.json") as f:
-        results = json.load(f)
+    results = {}
+    for path in ("log/round2_results.json", "log/round3_results.json"):
+        if os.path.exists(path):
+            with open(path) as f:
+                for model, rec in json.load(f).items():
+                    # round 3 supersedes round 2 when it trained further or
+                    # round 2 has no completed evidence
+                    old = results.get(model)
+                    if (old is None or "error" in old
+                            or rec.get("epochs_done", 0) >= old.get("epochs_done", 0)):
+                        if "error" not in rec or old is None:
+                            results[model] = rec
     lines = [
         MARKER,
         "",
-        "## Measured results (round 2): reference recipe on the full-scale set",
+        "## Measured results (rounds 2-3): reference recipe on the full-scale set",
         "",
         "7 classes x 8,000 clouds (6,001/1,999 split per class, N=1024 — the",
         "reference's exact dataset scale, ModelDataLoader.py:56-58), batch 24,",
         "Adam lr 1e-3 (cls) / 1e-4 (pose), wd 1e-4, StepLR(20, 0.7) — trained",
-        "end-to-end on ONE v5e chip via scripts/train_round2.py; metrics from",
-        "the best checkpoint on the held-out test split (13,993 clouds).",
+        "end-to-end on ONE v5e chip via scripts/train_round{2,3}.py; metrics",
+        "from the best checkpoint on the held-out test split (13,993 clouds).",
         "",
         "| Model | Test metric | Notes |",
         "|---|---|---|",
@@ -82,7 +93,9 @@ def main():
         "Notes: sign accuracy for the `cylinder` class is chance-level by",
         "construction — a cylinder's z-rotation sign is unobservable from",
         "geometry (rotational symmetry); the other 6 classes carry the metric.",
-        "Raw per-class numbers: log/round2_results.json.",
+        "`pose` is the generic configurable head (reference model/pose.py:7-105)",
+        "in its rotation configuration. Raw per-class numbers:",
+        "log/round2_results.json, log/round3_results.json.",
         "",
     ]
     with open("BASELINE.md") as f:

@@ -47,7 +47,9 @@ def query_ball_point(radius, number, points, new_points):
     group_first = np.repeat(group_idx[:, :, :1], number, axis=-1)
     mask = group_idx == N
     group_idx[mask] = group_first[mask]
-    return group_idx
+    # degenerate fully-empty ball: the reference would emit N and crash on
+    # the gather; all impls clamp to N-1 (ops/grouping.py)
+    return np.minimum(group_idx, N - 1)
 
 
 def normalization(point_cloud):

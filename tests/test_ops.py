@@ -136,3 +136,18 @@ def test_query_ball_point_chunked_matches(clouds):
         query_ball_point_chunked(0.4, 8, jnp.asarray(clouds), jnp.asarray(clouds[:, :50, :]), tile=16)
     )
     assert c.shape == (4, 50, 8)
+
+
+def test_query_ball_point_empty_ball_clamps(clouds):
+    # a centroid far outside the cloud has ZERO in-ball neighbors; the
+    # reference would emit the sentinel N and crash on the gather — all our
+    # impls clamp to N-1 (ops/grouping.py), and the oracle documents it
+    B, N, _ = clouds.shape
+    far = np.full((B, 2, 3), 100.0, np.float32)
+    got = np.asarray(
+        ops.query_ball_point(0.1, 8, jnp.asarray(clouds), jnp.asarray(far))
+    )
+    want = oracle.query_ball_point(0.1, 8, clouds, far)
+    np.testing.assert_array_equal(got, want)
+    assert got.max() <= N - 1  # in-bounds for any gather
+    assert (got == N - 1).all()

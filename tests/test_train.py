@@ -270,3 +270,16 @@ def test_experiment_records_config_and_history(tiny_ds, tmp_path):
     assert saved_cfg["model"] == "pointnet_cls" and saved_cfg["epochs"] == 2
     saved_hist = json.load(open(exp / "history.json"))
     assert [h["epoch"] for h in saved_hist] == [0, 1]
+
+
+def test_train_with_dataset_smaller_than_batch(tmp_path):
+    # ADVICE r2: the device epoch runner reshaped a short permutation and
+    # crashed when len(train_ds) < batch_size; it must fall back gracefully
+    fields = build_dataset(4, seed=0, n_points=64, categories=CATEGORIES[:3])
+    tr = load_dataset(fields, "train")
+    te = load_dataset(fields, "test")
+    cfg = _cfg("pointnet_cls", batch_size=len(tr) + 5, epochs=1,
+               log_dir=str(tmp_path), experiment="tiny")
+    assert len(tr) < cfg.batch_size
+    _, hist = train(cfg, tr, te)
+    assert len(hist) == 1
