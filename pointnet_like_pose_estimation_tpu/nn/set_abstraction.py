@@ -84,6 +84,33 @@ class SetAbstractionMSG(nn.Module):
 
         Returns (centroids [B, S, 3], features [B, S, sum(mlp[-1])]).
         """
+        from pointnet_like_pose_estimation_tpu.parallel import context as _psc
+
+        ctx = _psc.current_point_sharding()
+        if (
+            ctx is not None
+            and ctx.mesh.shape[ctx.axis] > 1
+            and points.shape[1] % ctx.mesh.shape[ctx.axis] == 0
+        ):
+            # distributed multi-scale grouping: one distributed FPS + one
+            # shard-local distance matrix shared by every radius scale
+            from pointnet_like_pose_estimation_tpu.parallel.sharded_ops import (
+                sharded_sample_and_group_multi,
+            )
+
+            ctx.dispatch_count += 1
+            centroids, grouped_list = sharded_sample_and_group_multi(
+                points, features, self.num_centroids,
+                self.radius_list, self.num_neighbors_list,
+                ctx.mesh, axis=ctx.axis, batch_axis=ctx.batch_axis,
+            )
+            outs = []
+            for i, grouped in enumerate(grouped_list):
+                h = PointwiseMLP(
+                    self.mlp_list[i], dtype=self.dtype, name=f"mlp_{i}"
+                )(grouped, train=train)
+                outs.append(jnp.max(h, axis=-2))
+            return centroids, jnp.concatenate(outs, axis=-1)
         fps_idx = farthest_point_sample(points, self.num_centroids)
         centroids = index_points(points, fps_idx)
         impl = _grouping_impl()

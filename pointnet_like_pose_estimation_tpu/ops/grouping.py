@@ -137,6 +137,27 @@ def sample_and_group(
     Returns:
       ``(centroids [B,S,3], grouped [B,S,K,3(+D)])`` and optionally fps_idx.
     """
+    # point-sharding context: route through the hand-built O(S·K) collective
+    # implementation instead of GSPMD's default gathers (parallel.context)
+    from pointnet_like_pose_estimation_tpu.parallel import context as _psc
+
+    ctx = _psc.current_point_sharding()
+    if (
+        ctx is not None
+        and fps_idx is None
+        and not return_fps
+        and ctx.mesh.shape[ctx.axis] > 1
+        and points.shape[1] % ctx.mesh.shape[ctx.axis] == 0
+    ):
+        from pointnet_like_pose_estimation_tpu.parallel.sharded_ops import (
+            sharded_sample_and_group,
+        )
+
+        ctx.dispatch_count += 1
+        return sharded_sample_and_group(
+            points, features, num_centroids, num_neighbors, radius,
+            ctx.mesh, axis=ctx.axis, batch_axis=ctx.batch_axis,
+        )
     if fps_idx is None:
         fps_idx = farthest_point_sample(points, num_centroids)
     centroids = index_points(points, fps_idx)                 # [B, S, 3]

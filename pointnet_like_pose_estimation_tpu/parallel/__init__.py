@@ -7,9 +7,14 @@ from pointnet_like_pose_estimation_tpu.parallel.mesh import (
     replicate,
     shard_batch,
 )
+from pointnet_like_pose_estimation_tpu.parallel.context import (
+    current_point_sharding,
+    point_sharding,
+)
 from pointnet_like_pose_estimation_tpu.parallel.sharded_ops import (
     sharded_farthest_point_sample,
     sharded_sample_and_group,
+    sharded_sample_and_group_multi,
 )
 from pointnet_like_pose_estimation_tpu.parallel.multihead import (
     MultiHeadParallel,
@@ -28,13 +33,16 @@ __all__ = [
     "MultiHeadParallel",
     "batch_sharding",
     "count_sharded",
+    "current_point_sharding",
     "make_mesh",
+    "point_sharding",
     "replicate",
     "shard_batch",
     "shard_state_tp",
     "make_parallel_train_step",
     "sharded_farthest_point_sample",
     "sharded_sample_and_group",
+    "sharded_sample_and_group_multi",
     "tensor_parallel_shardings",
     "tensor_parallel_specs",
 ]

@@ -15,16 +15,33 @@ per-cloud numpy loop (pointnet2_utils.py:47-68). Numerics here match
 ops.farthest_point_sample exactly — contiguous block sharding keeps global
 first-index-wins tie-breaking because both the within-shard argmax and the
 cross-shard argmax pick the first maximum.
+
+Model integration: with ``parallel.context.point_sharding`` active,
+``ops.sample_and_group`` and the MSG layer dispatch here instead of leaving
+the gathers to GSPMD. ``batch_axis`` lets the same kernels run under a 2-D
+(data × points) mesh: batch rows stay shard-local on the data axis while
+the point collectives run over the points axis.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _specs(batch_axis: str | None, axis: str):
+    """(batch spec, point spec, replicated-over-points spec) helpers."""
+    return (
+        P(batch_axis),                       # [B]
+        P(batch_axis, axis, None),           # [B, N, C]
+        P(batch_axis, None),                 # [B, S]-like, replicated over pts
+    )
+
+
+def _place(mesh: Mesh, arr: jax.Array, spec: P) -> jax.Array:
+    return jax.device_put(arr, NamedSharding(mesh, spec))
 
 
 def sharded_farthest_point_sample(
@@ -33,6 +50,7 @@ def sharded_farthest_point_sample(
     mesh: Mesh,
     *,
     axis: str = "points",
+    batch_axis: str | None = None,
     start_idx: jax.Array | int = 0,
 ) -> jax.Array:
     """FPS over clouds whose N axis is sharded across ``mesh[axis]``.
@@ -42,10 +60,12 @@ def sharded_farthest_point_sample(
       num_samples: S (static).
       mesh: mesh containing ``axis``.
       axis: mesh axis name the point dimension shards over.
+      batch_axis: optional mesh axis the batch dimension shards over (2-D
+        data × points meshes); collectives still run only over ``axis``.
       start_idx: ``[B]`` or scalar initial centroid (global index).
 
     Returns:
-      ``[B, S]`` int32 global indices, replicated over the mesh.
+      ``[B, S]`` int32 global indices, replicated over ``axis``.
     """
     B, N, C = points.shape
     d = mesh.shape[axis]
@@ -55,42 +75,79 @@ def sharded_farthest_point_sample(
     start = jnp.broadcast_to(jnp.asarray(start_idx, jnp.int32), (B,))
 
     def local(pts, start):
-        # pts: [B, N/d, C] shard; start replicated [B]
+        # pts: [Bl, N/d, C] shard; start [Bl] replicated over the points axis
         r = lax.axis_index(axis)
-        Nl = pts.shape[1]
+        Bl, Nl = pts.shape[0], pts.shape[1]
 
         def body(i, carry):
-            dist, far, idx_out = carry                      # dist [B, Nl] local
+            dist, far, idx_out = carry                      # dist [Bl, Nl] local
             idx_out = idx_out.at[:, i].set(far)
             # owner shard contributes the centroid; psum broadcasts it
-            owner = (far // Nl) == r                        # [B]
+            owner = (far // Nl) == r                        # [Bl]
             li = jnp.clip(far - r * Nl, 0, Nl - 1)
-            cent = jnp.take_along_axis(pts, li[:, None, None], axis=1)  # [B,1,C]
+            cent = jnp.take_along_axis(pts, li[:, None, None], axis=1)  # [Bl,1,C]
             cent = lax.psum(jnp.where(owner[:, None, None], cent, 0.0), axis)
             dist = jnp.minimum(dist, jnp.sum((pts - cent) ** 2, axis=-1))
             # global argmax: tiny all_gather of per-shard (max, argmax)
-            loc_max = jnp.max(dist, axis=1)                 # [B]
+            loc_max = jnp.max(dist, axis=1)                 # [Bl]
             loc_arg = jnp.argmax(dist, axis=1).astype(jnp.int32) + r * Nl
-            all_max = lax.all_gather(loc_max, axis)         # [d, B]
-            all_arg = lax.all_gather(loc_arg, axis)         # [d, B]
+            all_max = lax.all_gather(loc_max, axis)         # [d, Bl]
+            all_arg = lax.all_gather(loc_arg, axis)         # [d, Bl]
             win = jnp.argmax(all_max, axis=0)               # first max wins
             far = jnp.take_along_axis(all_arg, win[None, :], axis=0)[0]
             return dist, far, idx_out
 
-        dist0 = jnp.full((B, Nl), 1e10, dtype=jnp.float32)
-        idx0 = jnp.zeros((B, S), dtype=jnp.int32)
+        dist0 = jnp.full((Bl, Nl), 1e10, dtype=jnp.float32)
+        idx0 = jnp.zeros((Bl, S), dtype=jnp.int32)
         _, _, idx = lax.fori_loop(0, S, body, (dist0, start, idx0))
         return idx
 
+    bspec, pspec, rspec = _specs(batch_axis, axis)
     fn = jax.shard_map(
-        functools.partial(local),
+        local,
         mesh=mesh,
-        in_specs=(P(None, axis, None), P(None)),
-        out_specs=P(None),
+        in_specs=(pspec, bspec),
+        out_specs=rspec,
         check_vma=False,
     )
-    points = jax.device_put(points, NamedSharding(mesh, P(None, axis, None)))
-    return fn(points.astype(jnp.float32), start)
+    return fn(_place(mesh, points.astype(jnp.float32), pspec), start)
+
+
+def _local_ball_query(cent, pts, r, Nl, N):
+    """Shard-local squared distances + GLOBAL point ids; the caller
+    thresholds per radius and merges K-lowest across shards."""
+    sentinel = jnp.int32(N)
+    d2 = (
+        jnp.sum(cent * cent, axis=-1)[..., None]
+        - 2.0 * jnp.einsum("bsc,bnc->bsn", cent, pts)
+        + jnp.sum(pts * pts, axis=-1)[:, None, :]
+    )                                                     # [Bl, S, Nl]
+    ids = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2) + r * Nl
+    return d2, ids, sentinel
+
+
+def _merge_candidates(keys, K, Nl, axis, sentinel):
+    neg_topk, _ = lax.top_k(-keys, min(K, Nl))            # K lowest local
+    cand = -neg_topk                                      # [Bl, S, K]
+    allc = lax.all_gather(cand, axis)                     # [d, Bl, S, K]
+    allc = jnp.moveaxis(allc, 0, 2).reshape(*cand.shape[:2], -1)
+    neg_topk, _ = lax.top_k(-allc, K)
+    idx = -neg_topk                                       # [Bl, S, K] global
+    first = idx[..., :1]
+    idx = jnp.where(idx == sentinel, first, idx)          # pad-with-first
+    # fully-empty ball: clamp the residual sentinel to N-1 so the
+    # owner_gather agrees with the XLA/Pallas paths (ops/grouping.py)
+    return jnp.minimum(idx, sentinel - 1)
+
+
+def _owner_gather(arr, idx, r, Nl, axis):
+    """Fetch arr[b, idx] for global idx via owner-masked psum."""
+    owner = (idx // Nl) == r                              # [Bl, ...]
+    li = jnp.clip(idx - r * Nl, 0, Nl - 1)
+    flat = li.reshape(li.shape[0], -1)
+    g = jnp.take_along_axis(arr, flat[..., None], axis=1)
+    g = g.reshape(*idx.shape, arr.shape[-1])
+    return lax.psum(jnp.where(owner[..., None], g, 0.0), axis)
 
 
 def sharded_sample_and_group(
@@ -102,6 +159,7 @@ def sharded_sample_and_group(
     mesh: Mesh,
     *,
     axis: str = "points",
+    batch_axis: str | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """The FULL sample_and_group over a sharded N axis: distributed FPS →
     centroid broadcast → shard-local ball query → global K-lowest merge →
@@ -116,79 +174,118 @@ def sharded_sample_and_group(
     [B,S,C] centroid psum, one [d,B,S,K] index all-gather, and one [B,S,K,C]
     neighborhood psum — all O(S·K), independent of N.
 
-    Args:
-      points: ``[B, N, C]`` (placed with N sharded over ``axis``).
-      features: optional ``[B, N, D]`` per-point features (same sharding).
-      num_centroids: S.
-      num_neighbors: K.
-      radius: ball radius.
-      mesh: mesh containing ``axis``.
-
     Returns:
-      ``(centroids [B,S,C], grouped [B,S,K,C(+D)])`` replicated over the
-      mesh — grouped layout matches ops.sample_and_group ([centered coords,
-      features]).
+      ``(centroids [B,S,C], grouped [B,S,K,C(+D)])`` replicated over
+      ``axis`` — grouped layout matches ops.sample_and_group ([centered
+      coords, features]).
     """
     B, N, C = points.shape
     d = mesh.shape[axis]
     if N % d:
         raise ValueError(f"N={N} not divisible by axis size {d}")
     S, K = int(num_centroids), int(num_neighbors)
-    fps_idx = sharded_farthest_point_sample(points, S, mesh, axis=axis)
+    fps_idx = sharded_farthest_point_sample(
+        points, S, mesh, axis=axis, batch_axis=batch_axis
+    )
 
     def local(pts, cent_idx, feats=None):
         r = lax.axis_index(axis)
         Nl = pts.shape[1]
-        sentinel = jnp.int32(N)
-
-        def owner_gather(arr, idx):
-            """Fetch arr[b, idx] for global idx via owner-masked psum."""
-            owner = (idx // Nl) == r                          # [B, ...]
-            li = jnp.clip(idx - r * Nl, 0, Nl - 1)
-            flat = li.reshape(B, -1)
-            g = jnp.take_along_axis(arr, flat[..., None], axis=1)
-            g = g.reshape(*idx.shape, arr.shape[-1])
-            return lax.psum(jnp.where(owner[..., None], g, 0.0), axis)
-
-        cent = owner_gather(pts, cent_idx)                    # [B, S, C]
-
-        # shard-local ball query: K lowest local in-ball indices (global ids)
-        d2 = (
-            jnp.sum(cent * cent, axis=-1)[..., None]
-            - 2.0 * jnp.einsum("bsc,bnc->bsn", cent, pts)
-            + jnp.sum(pts * pts, axis=-1)[:, None, :]
-        )                                                     # [B, S, Nl]
-        ids = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2) + r * Nl
+        cent = _owner_gather(pts, cent_idx, r, Nl, axis)      # [Bl, S, C]
+        d2, ids, sentinel = _local_ball_query(cent, pts, r, Nl, N)
         keys = jnp.where(d2 <= radius * radius, ids, sentinel)
-        neg_topk, _ = lax.top_k(-keys, min(K, Nl))            # K lowest local
-        cand = -neg_topk                                      # [B, S, K]
-        # merge across shards: K lowest of the d*K candidates
-        allc = lax.all_gather(cand, axis)                     # [d, B, S, K]
-        allc = jnp.moveaxis(allc, 0, 2).reshape(B, S, -1)
-        neg_topk, _ = lax.top_k(-allc, K)
-        idx = -neg_topk                                       # [B, S, K] global
-        first = idx[..., :1]
-        idx = jnp.where(idx == sentinel, first, idx)          # pad-with-first
-        # fully-empty ball: clamp the residual sentinel to N-1 so the
-        # owner_gather agrees with the XLA/Pallas paths (ops/grouping.py)
-        idx = jnp.minimum(idx, sentinel - 1)
-
-        grouped = owner_gather(pts, idx) - cent[:, :, None, :]
+        idx = _merge_candidates(keys, K, Nl, axis, sentinel)
+        grouped = _owner_gather(pts, idx, r, Nl, axis) - cent[:, :, None, :]
         if feats is not None:
-            grouped = jnp.concatenate([grouped, owner_gather(feats, idx)], -1)
+            grouped = jnp.concatenate(
+                [grouped, _owner_gather(feats, idx, r, Nl, axis)], -1
+            )
         return cent, grouped
 
-    pspec = P(None, axis, None)
-    points = jax.device_put(points, NamedSharding(mesh, pspec))
+    bspec, pspec, rspec = _specs(batch_axis, axis)
+    out_specs = (P(batch_axis, None, None), P(batch_axis, None, None, None))
+    points = _place(mesh, points.astype(jnp.float32), pspec)
     if features is None:
         fn = jax.shard_map(
-            local, mesh=mesh, in_specs=(pspec, P(None)),
-            out_specs=(P(None), P(None)), check_vma=False,
+            local, mesh=mesh, in_specs=(pspec, rspec),
+            out_specs=out_specs, check_vma=False,
         )
-        return fn(points.astype(jnp.float32), fps_idx)
-    features = jax.device_put(features, NamedSharding(mesh, pspec))
+        return fn(points, fps_idx)
+    features = _place(mesh, features.astype(jnp.float32), pspec)
     fn = jax.shard_map(
-        local, mesh=mesh, in_specs=(pspec, P(None), pspec),
-        out_specs=(P(None), P(None)), check_vma=False,
+        local, mesh=mesh, in_specs=(pspec, rspec, pspec),
+        out_specs=out_specs, check_vma=False,
     )
-    return fn(points.astype(jnp.float32), fps_idx, features.astype(jnp.float32))
+    return fn(points, fps_idx, features.astype(jnp.float32))
+
+
+def sharded_sample_and_group_multi(
+    points: jax.Array,
+    features: jax.Array | None,
+    num_centroids: int,
+    radius_list,
+    num_neighbors_list,
+    mesh: Mesh,
+    *,
+    axis: str = "points",
+    batch_axis: str | None = None,
+):
+    """Multi-scale grouping over a sharded N axis: ONE distributed FPS and
+    ONE shard-local distance matrix serve every radius scale — the
+    distributed analog of the fused MSG kernel (kernels/ball_group.py; the
+    reference recomputes distances per scale, pointnet2_utils.py:203-219).
+
+    Returns:
+      ``(centroids [B,S,C], [grouped_l [B,S,K_l,D+C]])`` with the MSG
+      channel order [features, centered coords] (pointnet2_utils.py:211).
+    """
+    B, N, C = points.shape
+    d = mesh.shape[axis]
+    if N % d:
+        raise ValueError(f"N={N} not divisible by axis size {d}")
+    S = int(num_centroids)
+    radii = tuple(float(r) for r in radius_list)
+    ks = tuple(int(k) for k in num_neighbors_list)
+    fps_idx = sharded_farthest_point_sample(
+        points, S, mesh, axis=axis, batch_axis=batch_axis
+    )
+
+    def local(pts, cent_idx, feats=None):
+        r = lax.axis_index(axis)
+        Nl = pts.shape[1]
+        cent = _owner_gather(pts, cent_idx, r, Nl, axis)      # [Bl, S, C]
+        # distance matrix computed ONCE, re-thresholded per scale
+        d2, ids, sentinel = _local_ball_query(cent, pts, r, Nl, N)
+        outs = []
+        for radius, K in zip(radii, ks):
+            keys = jnp.where(d2 <= radius * radius, ids, sentinel)
+            idx = _merge_candidates(keys, K, Nl, axis, sentinel)
+            grouped = _owner_gather(pts, idx, r, Nl, axis) - cent[:, :, None, :]
+            if feats is not None:
+                # MSG channel order: [features, centered coords]
+                grouped = jnp.concatenate(
+                    [_owner_gather(feats, idx, r, Nl, axis), grouped], -1
+                )
+            outs.append(grouped)
+        return cent, tuple(outs)
+
+    bspec, pspec, rspec = _specs(batch_axis, axis)
+    out_specs = (
+        P(batch_axis, None, None),
+        tuple(P(batch_axis, None, None, None) for _ in ks),
+    )
+    points = _place(mesh, points.astype(jnp.float32), pspec)
+    if features is None:
+        fn = jax.shard_map(
+            local, mesh=mesh, in_specs=(pspec, rspec),
+            out_specs=out_specs, check_vma=False,
+        )
+        cent, outs = fn(points, fps_idx)
+    else:
+        features = _place(mesh, features.astype(jnp.float32), pspec)
+        fn = jax.shard_map(
+            local, mesh=mesh, in_specs=(pspec, rspec, pspec),
+            out_specs=out_specs, check_vma=False,
+        )
+        cent, outs = fn(points, fps_idx, features)
+    return cent, list(outs)

@@ -249,3 +249,92 @@ def test_sharded_sample_and_group_no_features():
     )
     np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g), rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_sample_and_group_multi_matches_per_scale():
+    """The distributed MSG grouping (one FPS + one distance matrix for all
+    radius scales) is exact vs the single-device per-scale composition at
+    N=4096 — VERDICT r2 item 4."""
+    import numpy as np
+
+    from pointnet_like_pose_estimation_tpu.kernels import flags
+    from pointnet_like_pose_estimation_tpu.ops import (
+        farthest_point_sample,
+        index_points,
+        query_ball_point,
+    )
+    from pointnet_like_pose_estimation_tpu.parallel import (
+        make_mesh,
+        sharded_sample_and_group_multi,
+    )
+
+    pts = jax.random.normal(jax.random.PRNGKey(7), (2, 4096, 3))
+    feats = jax.random.normal(jax.random.PRNGKey(8), (2, 4096, 5))
+    S, radii, ks = 64, (0.2, 0.4), (8, 16)
+    flags.set_impls(fps="xla", grouping="xla")
+    try:
+        fps_idx = farthest_point_sample(pts, S)
+        cent = index_points(pts, fps_idx)
+        want = []
+        for radius, K in zip(radii, ks):
+            idx = query_ball_point(radius, K, pts, cent)
+            g = jnp.concatenate(
+                [index_points(feats, idx),
+                 index_points(pts, idx) - cent[:, :, None, :]], -1
+            )
+            want.append(np.asarray(g))
+    finally:
+        flags.set_impls(fps="auto", grouping="auto")
+    for axes in ({"points": 8}, {"data": 2, "points": 4}):
+        mesh = make_mesh(axes)
+        got_c, got_list = sharded_sample_and_group_multi(
+            pts, feats, S, radii, ks, mesh,
+            batch_axis="data" if "data" in axes else None,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_c), np.asarray(cent), rtol=1e-5, atol=1e-6
+        )
+        for got, w in zip(got_list, want):
+            np.testing.assert_allclose(np.asarray(got), w, rtol=1e-4, atol=1e-5)
+
+
+def test_point_sharding_context_routes_ssg_forward():
+    """A point-sharded pointnet2_cls_ssg forward ROUTES through sharded_ops
+    (dispatch counter) and matches the unsharded forward."""
+    import numpy as np
+
+    from pointnet_like_pose_estimation_tpu.parallel import make_mesh, point_sharding
+    from pointnet_like_pose_estimation_tpu.train import TrainConfig
+    from pointnet_like_pose_estimation_tpu.train.loop import build_state
+
+    cfg = TrainConfig.for_model("pointnet2_cls_ssg", num_points=256)
+    _, model, state = build_state(cfg)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    pts = jax.random.normal(jax.random.PRNGKey(9), (2, 256, 3))
+    want = model.apply(variables, pts, train=False)[0]
+
+    mesh = make_mesh({"points": 4})
+    with point_sharding(mesh) as ctx:
+        got = model.apply(variables, pts, train=False)[0]
+    # sa1 (N=256) and sa2 (N=512 centroids) both dispatch; sa3 is group_all
+    assert ctx.dispatch_count == 2
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_point_sharding_context_routes_msg_forward():
+    import numpy as np
+
+    from pointnet_like_pose_estimation_tpu.parallel import make_mesh, point_sharding
+    from pointnet_like_pose_estimation_tpu.train import TrainConfig
+    from pointnet_like_pose_estimation_tpu.train.loop import build_state
+
+    cfg = TrainConfig.for_model("pointnet2_cls_msg", num_points=256)
+    _, model, state = build_state(cfg)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    pts = jax.random.normal(jax.random.PRNGKey(10), (2, 256, 3))
+    want = model.apply(variables, pts, train=False)[0]
+
+    with point_sharding(make_mesh({"points": 4})) as ctx:
+        got = model.apply(variables, pts, train=False)[0]
+    assert ctx.dispatch_count == 2  # both SA-MSG levels
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
