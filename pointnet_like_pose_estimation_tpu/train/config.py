@@ -43,6 +43,13 @@ class TrainConfig:
     # reference-compat quirk flags (SURVEY §3.2)
     compat_first3_mean: bool = False  # train_translation.py:113 first-3-points mean
     compat_pm1_bce: bool = False      # train_sign.py:121 ±1 targets into BCE
+    # beyond-reference: transform regression targets WITH the augmentation
+    # (tran' = s*tran + u, width' = s*width). The reference scales/shifts the
+    # cloud but leaves targets raw (provider.py:131-155 +
+    # train_translation.py:110-115), injecting per-axis label noise
+    # ~std(s)*E|t_axis| — the measured z-error 2x anomaly
+    # (log/anomaly_probe.json). Default False = reference-faithful.
+    augment_consistent_labels: bool = False
 
     @classmethod
     def for_model(cls, model: str, **overrides) -> "TrainConfig":

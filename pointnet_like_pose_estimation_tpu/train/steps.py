@@ -30,8 +30,22 @@ def _prepare_inputs(spec: ModelSpec, cfg: TrainConfig, key, batch, train: bool):
     if train and cfg.augment:
         k1, k2, k3 = jax.random.split(key, 3)
         points = aug.random_point_dropout(k1, points)
-        points = aug.random_scale(k2, points)
-        points = aug.random_shift(k3, points)
+        if cfg.augment_consistent_labels:
+            # same scale/shift distributions, but applied to the regression
+            # targets too — removes the reference's train-time label noise
+            # (see TrainConfig.augment_consistent_labels)
+            B = points.shape[0]
+            s = jax.random.uniform(k2, (B, 1, 1), minval=0.8, maxval=1.25)
+            u = jax.random.uniform(
+                k3, (B, 1, points.shape[-1]), minval=-0.1, maxval=0.1
+            )
+            points = points * s + u
+            batch = dict(batch)
+            batch["tran"] = batch["tran"] * s[:, 0] + u[:, 0]
+            batch["width"] = batch["width"] * s[:, 0]
+        else:
+            points = aug.random_scale(k2, points)
+            points = aug.random_shift(k3, points)
     # translation captures the centroid BEFORE normalization
     # (train_translation.py:113-115)
     mean = aug.cloud_mean(points, compat_first3=cfg.compat_first3_mean)

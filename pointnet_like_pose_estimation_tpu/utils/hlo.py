@@ -1,0 +1,78 @@
+"""Compiled-HLO analysis: per-step collective traffic.
+
+The scaling methodology (docs/SCALING.md, VERDICT r2 #6) needs a
+hardware-transferable number: how many bytes of collectives one training
+step moves. Wall-clock on a virtual CPU mesh cannot say (all "devices"
+share the host cores), but the compiled HLO can — the same program XLA
+would run on a real slice, with the same all-reduces. On real hardware,
+predicted collective seconds = bytes x algo-factor / ICI bandwidth, to be
+compared against the measured compute step time for an efficiency bound.
+"""
+
+from __future__ import annotations
+
+import re
+
+_DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2, "f16": 2,
+    "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8,
+}
+
+_COLLECTIVES = (
+    "all-reduce",
+    "all-gather",
+    "reduce-scatter",
+    "collective-permute",
+    "all-to-all",
+)
+
+# e.g. "%all-reduce.1 = f32[1024,128]{1,0} all-reduce(%x), replica_groups..."
+#      "... = (f32[8]{0}, f32[4]{0}) all-reduce(...)"
+_OP_RE = re.compile(
+    r"=\s*(?P<shapes>\([^)]*\)|\S+)\s+(?P<op>" + "|".join(_COLLECTIVES) + r")\("
+)
+_SHAPE_RE = re.compile(r"(?P<dtype>\w+)\[(?P<dims>[\d,]*)\]")
+
+
+def _shape_bytes(shape: str) -> int:
+    total = 0
+    for m in _SHAPE_RE.finditer(shape):
+        dt = _DTYPE_BYTES.get(m.group("dtype"))
+        if dt is None:
+            continue
+        dims = m.group("dims")
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * dt
+    return total
+
+
+def collective_traffic(hlo_text: str) -> dict:
+    """Sum output bytes of every collective op in optimized HLO text.
+
+    Returns {"total_bytes": int, "by_op": {op: {"count": n, "bytes": b}}}.
+    Bytes are the collective RESULT sizes — what each participant receives;
+    multiply by the ring algo factor (2(d-1)/d for all-reduce) for wire
+    bytes on a real slice.
+    """
+    by_op: dict[str, dict] = {}
+    for line in hlo_text.splitlines():
+        m = _OP_RE.search(line)
+        if not m:
+            continue
+        op = m.group("op")
+        b = _shape_bytes(m.group("shapes"))
+        rec = by_op.setdefault(op, {"count": 0, "bytes": 0})
+        rec["count"] += 1
+        rec["bytes"] += b
+    return {
+        "total_bytes": sum(r["bytes"] for r in by_op.values()),
+        "by_op": by_op,
+    }
+
+
+def compiled_collective_traffic(compiled) -> dict:
+    """collective_traffic of a jax ``Compiled`` object (.as_text())."""
+    return collective_traffic(compiled.as_text())

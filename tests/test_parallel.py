@@ -338,3 +338,42 @@ def test_point_sharding_context_routes_msg_forward():
         got = model.apply(variables, pts, train=False)[0]
     assert ctx.dispatch_count == 2  # both SA-MSG levels
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_collective_traffic_from_hlo():
+    """The HLO analyzer finds the DP gradient all-reduce and its bytes are
+    at least the parameter size (grads) on a 4-device data mesh."""
+    from pointnet_like_pose_estimation_tpu.parallel import (
+        make_mesh,
+        make_parallel_train_step,
+        replicate,
+        shard_batch,
+    )
+    from pointnet_like_pose_estimation_tpu.models import get_model_spec
+    from pointnet_like_pose_estimation_tpu.train import TrainConfig
+    from pointnet_like_pose_estimation_tpu.train.loop import build_state
+    from pointnet_like_pose_estimation_tpu.utils.hlo import (
+        compiled_collective_traffic,
+    )
+
+    cfg = TrainConfig.for_model("pointnet_cls", num_points=64, batch_size=8)
+    spec, _, state = build_state(cfg)
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    mesh = make_mesh({"data": 4}, devices=jax.devices()[:4])
+    state = replicate(state, mesh)
+    step = make_parallel_train_step(get_model_spec(cfg.model), cfg, mesh)
+    batch = shard_batch(
+        {
+            "points": jnp.zeros((8, 64, 3), jnp.float32),
+            "labels": jnp.zeros((8,), jnp.int32),
+            "rot": jnp.zeros((8, 3), jnp.float32),
+            "tran": jnp.zeros((8, 3), jnp.float32),
+            "sign": jnp.ones((8,), jnp.float32),
+            "width": jnp.zeros((8, 1), jnp.float32),
+        },
+        mesh,
+    )
+    compiled = jax.jit(step).lower(state, batch).compile()
+    traffic = compiled_collective_traffic(compiled)
+    assert traffic["total_bytes"] >= n_params * 4  # grad all-reduce at least
+    assert any(op in traffic["by_op"] for op in ("all-reduce", "reduce-scatter"))

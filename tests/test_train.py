@@ -283,3 +283,15 @@ def test_train_with_dataset_smaller_than_batch(tmp_path):
     assert len(tr) < cfg.batch_size
     _, hist = train(cfg, tr, te)
     assert len(hist) == 1
+
+
+def test_augment_consistent_labels_flag(tiny_ds, tmp_path):
+    # flag on: targets transform with the cloud; training runs and the
+    # step is well-formed (translation uses tran, width scales too)
+    tr, te = tiny_ds
+    cfg = _cfg("translation", epochs=2, log_dir=str(tmp_path),
+               experiment="acl", augment=True)
+    cfg = cfg.__class__(**{**cfg.__dict__, "augment_consistent_labels": True})
+    _, hist = train(cfg, tr, te)
+    assert len(hist) == 2
+    assert np.isfinite(hist[-1]["train_loss"])
