@@ -143,15 +143,23 @@ def cmd_sweep(args):
     test_ds = load_dataset(args.data, "test")
     results = {}
     jobs = []
-    for model in ("rotation", "sign", "translation"):
+    # reference grid (train.py:4-20): cls, sign, rotation x {L1,L2}x{mean,sum},
+    # translation x {L1,L2}x{mean,sum} x {mean-MLP, no-mean-MLP}
+    for model in ("rotation", "sign", "translation", "translation_no_mlp"):
         for kind in ("L2_loss", "L1_loss"):
             for reduction in ("mean", "sum"):
                 if model == "sign" and (kind, reduction) != ("L2_loss", "mean"):
                     continue  # sign uses BCE; one config
                 jobs.append((model, kind, reduction))
     jobs.append(("pointnet_cls", "L2_loss", "mean"))
+    out_path = os.path.join(args.log_dir, "sweep_results.json")
+    if os.path.exists(out_path):  # resume a partial sweep
+        with open(out_path) as f:
+            results = json.load(f)
     for model, kind, reduction in jobs:
         name = f"{model}_{kind}_{reduction}"
+        if name in results:
+            continue
         cfg = TrainConfig.for_model(
             model,
             epochs=args.epochs,
@@ -163,8 +171,8 @@ def cmd_sweep(args):
         _, history = train(cfg, train_ds, test_ds)
         results[name] = history[-1]
         print(name, json.dumps(history[-1]))
-    with open(os.path.join(args.log_dir, "sweep_results.json"), "w") as f:
-        json.dump(results, f, indent=2)
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
 
 
 def main(argv=None):

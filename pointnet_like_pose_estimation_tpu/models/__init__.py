@@ -119,6 +119,9 @@ _reg(ModelSpec("sign_ssg", lambda **kw: SSGHead(out_dim=1, levels=2, sigmoid_sig
 _reg(ModelSpec("sign_msg", lambda **kw: MSGHead(out_dim=1, levels=2, sigmoid_sign=True, **kw), "sign", "spliced", _sign_loss, _sign_metric))
 
 _reg(ModelSpec("translation", lambda **kw: VanillaHead(out_dim=3, mean_residual=True, **kw), "translation", "spliced_mean", _reg_loss, _tran_metric))
+# --use_mean_mlp False ablation arm of the reference sweep (train.py:16-20;
+# translation.py:35 gates the mean-MLP residual on the string 'True')
+_reg(ModelSpec("translation_no_mlp", lambda **kw: VanillaHead(out_dim=3, mean_residual=False, **kw), "translation", "spliced", _reg_loss, _tran_metric))
 _reg(ModelSpec("translation_ssg", lambda **kw: SSGHead(out_dim=3, levels=2, mean_residual=True, **kw), "translation", "spliced_mean", _reg_loss, _tran_metric))
 _reg(ModelSpec("translation_msg", lambda **kw: MSGHead(out_dim=3, levels=2, mean_residual=True, **kw), "translation", "spliced_mean", _reg_loss, _tran_metric))
 
