@@ -214,10 +214,29 @@ def extended(report):
     print(f"ball query S=128 K=32 B=64: xla {t_xla*1e3:.2f} ms, pallas "
           f"{t_pal*1e3:.2f} ms ({t_xla/t_pal:.1f}x)", file=sys.stderr)
 
+    # fused-SA inference executor vs standard eval forward (docs/PERF.md;
+    # kept with its measured result either way)
+    from pointnet_like_pose_estimation_tpu.models.fast_infer import (
+        build_pn2_ssg_infer,
+    )
+
+    cfg = TrainConfig.for_model("pointnet2_cls_ssg", num_points=1024)
+    _, model, state = build_state(cfg)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    fwd_std = jax.jit(lambda p: model.apply(variables, p, train=False)[0])
+    fwd_fused = build_pn2_ssg_infer(variables)
+    pts256 = jnp.asarray(rng.standard_normal((256, 1024, 3)), jnp.float32)
+    t_std = _time(fwd_std, pts256)
+    t_fus = _time(fwd_fused, pts256)
+    report["pn2_ssg_eval_fwd_b256_ms"] = t_std * 1e3
+    report["pn2_ssg_eval_fused_b256_ms"] = t_fus * 1e3
+    print(f"pn2_ssg eval fwd B=256: std {t_std*1e3:.2f} ms, fused-SA "
+          f"{t_fus*1e3:.2f} ms ({t_std/t_fus:.2f}x)", file=sys.stderr)
+
     # single-chip batch scaling of the headline step (clouds/s vs batch)
     scaling = {}
     for bs in (32, 64, 128, 256, 512):
-        dt, _ = _train_step_time("pointnet2_cls_ssg", bs, rng, iters=10)
+        dt, _, _ = _train_step_time("pointnet2_cls_ssg", bs, rng, iters=10)
         scaling[bs] = bs / dt
         print(f"  batch {bs}: {bs/dt:,.0f} clouds/s", file=sys.stderr)
     report["pn2_ssg_train_batch_scaling_clouds_per_s"] = scaling

@@ -32,6 +32,8 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from pointnet_like_pose_estimation_tpu.nn.bn_context import bn_axis_name
+
 from pointnet_like_pose_estimation_tpu.nn import (
     DenseHead,
     PointwiseMLP,
@@ -51,7 +53,7 @@ class MeanMLP(nn.Module):
     @nn.compact
     def __call__(self, mean, *, train: bool):
         h = nn.Dense(6, dtype=self.dtype, name="fc1")(mean)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn1")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, axis_name=bn_axis_name(), name="bn1")(h)
         h = nn.relu(h)
         return nn.Dense(3, dtype=self.dtype, name="fc2")(h)
 

@@ -18,6 +18,8 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from pointnet_like_pose_estimation_tpu.nn.bn_context import bn_axis_name
+
 Dtype = Any
 
 
@@ -53,6 +55,7 @@ class PointwiseMLP(nn.Module):
                     use_running_average=not train,
                     momentum=self.bn_momentum,
                     dtype=self.dtype,
+                    axis_name=bn_axis_name(),
                     name=f"bn_{i}",
                 )(x)
                 x = nn.relu(x)
@@ -94,6 +97,7 @@ class DenseHead(nn.Module):
                 use_running_average=not train,
                 momentum=self.bn_momentum,
                 dtype=self.dtype,
+                axis_name=bn_axis_name(),
                 name=f"bn_{i}",
             )
             drop = nn.Dropout(self.dropout_rate, deterministic=not train)

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from pointnet_like_pose_estimation_tpu.nn.layers import PointwiseMLP
+from pointnet_like_pose_estimation_tpu.nn.bn_context import bn_axis_name
 
 Dtype = Any
 
@@ -90,7 +91,8 @@ class PointNetEncoder(nn.Module):
         x = PointwiseMLP([128], dtype=self.dtype, name="conv2")(x, train=train)
         x = nn.Dense(1024, dtype=self.dtype, name="conv3")(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn3"
+            use_running_average=not train, momentum=0.9, dtype=self.dtype,
+            axis_name=bn_axis_name(), name="bn3"
         )(x)
         x = jnp.max(x, axis=-2)                               # [B, 1024]
         if self.global_feat:

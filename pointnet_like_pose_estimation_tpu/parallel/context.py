@@ -49,3 +49,12 @@ def point_sharding(mesh: Mesh, axis: str = "points", batch_axis: str | None = No
 
 def current_point_sharding() -> PointShardingContext | None:
     return _CURRENT[-1] if _CURRENT else None
+
+
+# re-exported here so callers find the BN sync context next to
+# point_sharding; it lives in nn/ to stay dependency-free (nn.layers
+# imports it at module load, before the models/parallel packages exist)
+from pointnet_like_pose_estimation_tpu.nn.bn_context import (  # noqa: E402,F401
+    bn_axis_name,
+    bn_sync,
+)

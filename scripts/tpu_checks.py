@@ -94,6 +94,30 @@ for name in ("pointnet2_cls_ssg", "pointnet2_cls_msg"):
     results[f"{name}_forward_parity"] = "ok"
     print(f"{name} pallas-vs-xla forward parity: ok", flush=True)
 
+# 4. fused SA inference executor (Mosaic compile + numeric parity vs
+# model.apply eval; models/fast_infer.py)
+from pointnet_like_pose_estimation_tpu.models.fast_infer import (  # noqa: E402
+    build_pn2_msg_infer,
+    build_pn2_ssg_infer,
+)
+from pointnet_like_pose_estimation_tpu.train import TrainConfig  # noqa: E402
+from pointnet_like_pose_estimation_tpu.train.loop import build_state  # noqa: E402
+
+for name, builder in (
+    ("pointnet2_cls_ssg", build_pn2_ssg_infer),
+    ("pointnet2_cls_msg", build_pn2_msg_infer),
+):
+    cfg = TrainConfig.for_model(name, num_points=1024)
+    _, model, state = build_state(cfg)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    want = model.apply(variables, pts, train=False)[0]
+    got = builder(variables)(pts)[0]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-3, atol=1e-4
+    )
+    results[f"{name}_fused_infer"] = "ok"
+    print(f"{name} fused-SA inference parity: ok", flush=True)
+
 os.makedirs("log", exist_ok=True)
 with open("log/tpu_checks.json", "w") as f:
     json.dump({"backend": backend, "checks": results}, f, indent=2)

@@ -216,3 +216,94 @@ def test_fps_dispatch_matches_xla_and_is_differentiable():
         flags.set_impls(fps="auto")
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     assert np.isfinite(np.asarray(g)).all() and float(jnp.linalg.norm(g)) > 0
+
+
+def _randomize_bn(variables, seed=0):
+    """Give BN layers nontrivial running stats + affine params so folding
+    is actually exercised (init is mean=0/var=1/scale=1/bias=0)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+
+    def rand_stats(d):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out[k] = rand_stats(v)
+            elif k == "var":
+                out[k] = jnp.asarray(rng.uniform(0.5, 2.0, v.shape), v.dtype)
+            elif k == "mean":
+                out[k] = jnp.asarray(rng.normal(0, 0.3, v.shape), v.dtype)
+            else:
+                out[k] = v
+        return out
+
+    def rand_bn_params(d):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out[k] = rand_bn_params(v)
+            elif k == "scale":
+                out[k] = jnp.asarray(rng.uniform(0.5, 1.5, v.shape), v.dtype)
+            elif k == "bias" :
+                out[k] = jnp.asarray(rng.normal(0, 0.2, v.shape), v.dtype)
+            else:
+                out[k] = v
+        return out
+
+    return {
+        "params": rand_bn_params(variables["params"]),
+        "batch_stats": rand_stats(variables["batch_stats"]),
+    }
+
+
+def test_fused_sa_ssg_matches_model_eval():
+    """The fused SA inference path (select+gather+MLP+max in one kernel, BN
+    folded) matches model.apply(train=False) for pointnet2_cls_ssg."""
+    import numpy as np
+
+    from pointnet_like_pose_estimation_tpu.models.fast_infer import (
+        build_pn2_ssg_infer,
+    )
+    from pointnet_like_pose_estimation_tpu.train import TrainConfig
+    from pointnet_like_pose_estimation_tpu.train.loop import build_state
+
+    cfg = TrainConfig.for_model("pointnet2_cls_ssg", num_points=256)
+    _, model, state = build_state(cfg)
+    variables = _randomize_bn(
+        {"params": state.params, "batch_stats": state.batch_stats}
+    )
+    pts = jax.random.normal(jax.random.PRNGKey(0), (2, 256, 3))
+    want_lp, _, want_pred = model.apply(variables, pts, train=False)
+
+    fwd = build_pn2_ssg_infer(variables, interpret=True)
+    got_lp, got_pred = fwd(pts)
+    np.testing.assert_allclose(
+        np.asarray(got_lp), np.asarray(want_lp), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(got_pred), np.asarray(want_pred))
+
+
+def test_fused_sa_msg_matches_model_eval():
+    import numpy as np
+
+    from pointnet_like_pose_estimation_tpu.models.fast_infer import (
+        build_pn2_msg_infer,
+    )
+    from pointnet_like_pose_estimation_tpu.train import TrainConfig
+    from pointnet_like_pose_estimation_tpu.train.loop import build_state
+
+    cfg = TrainConfig.for_model("pointnet2_cls_msg", num_points=128)
+    _, model, state = build_state(cfg)
+    variables = _randomize_bn(
+        {"params": state.params, "batch_stats": state.batch_stats}, seed=1
+    )
+    pts = jax.random.normal(jax.random.PRNGKey(1), (1, 128, 3))
+    want_lp, _, want_pred = model.apply(variables, pts, train=False)
+
+    fwd = build_pn2_msg_infer(variables, interpret=True)
+    got_lp, got_pred = fwd(pts)
+    np.testing.assert_allclose(
+        np.asarray(got_lp), np.asarray(want_lp), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(got_pred), np.asarray(want_pred))

@@ -51,15 +51,24 @@ def test_dp_step_runs_and_matches_single_device():
     par = make_parallel_train_step(spec, cfg, mesh)
     state_b, m_b = par(state_b, shard_batch(batch, mesh))
 
-    # identical inputs+params => same loss; BN stats (linear reductions over
-    # the global batch) must agree too. Adam's first step is ~lr*sign(grad),
-    # so raw params after one step are sign-flip sensitive to reduction
-    # order and not comparable exactly.
-    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-4)
-    sa = jax.tree_util.tree_leaves(state_a.batch_stats)
-    sb = jax.tree_util.tree_leaves(state_b.batch_stats)
-    for a, b in zip(sa, sb):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+    # The shard_map DP step necessarily draws DIFFERENT dropout masks than
+    # the single-program step (per-shard keys, fold_in by axis index), so
+    # the loss only matches approximately. BN statistics UPSTREAM of any
+    # dropout are linear reductions over the global batch and must match
+    # tightly — bn_sync's cross-replica pmean reproduces global-batch BN.
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=5e-2)
+    fa = jax.tree_util.tree_flatten_with_path(state_a.batch_stats)[0]
+    fb = jax.tree_util.tree_flatten_with_path(state_b.batch_stats)[0]
+    compared = 0
+    for (pa, a), (_, b) in zip(fa, fb):
+        path = "/".join(str(getattr(k, "key", k)) for k in pa)
+        if "head" in path:  # head BNs sit downstream of dropout
+            continue
+        compared += 1
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5, err_msg=path
+        )
+    assert compared > 0
 
 
 def test_dp_step_multiple_models():
@@ -74,14 +83,18 @@ def test_dp_step_multiple_models():
         assert np.isfinite(float(metrics["loss"]))
 
 
-def test_tp_step_matches_dp_step():
+def test_tp_step_matches_single_device_step():
     """Tensor-parallel sharding is layout-only: loss and BN stats must match
-    the fully-replicated DP step bit-for-rtol on the same inputs."""
+    the single-device (fully-replicated GSPMD) step bit-for-rtol on the same
+    inputs — same global program, same dropout masks, different layout. (The
+    shard_map DP step is a different program — per-shard dropout — so the
+    exact-parity anchor is the single-device step.)"""
     from pointnet_like_pose_estimation_tpu.parallel import (
         count_sharded,
         shard_state_tp,
         tensor_parallel_specs,
     )
+    from pointnet_like_pose_estimation_tpu.train import make_train_step
 
     cfg = TrainConfig.for_model("rotation", num_points=32, batch_size=8, augment=False)
     spec = get_model_spec("rotation")
@@ -90,10 +103,8 @@ def test_tp_step_matches_dp_step():
     _, _, state_a = build_state(cfg)
     _, _, state_b = build_state(cfg)
 
-    mesh_dp = make_mesh({"data": 8})
-    state_a = replicate(state_a, mesh_dp)
-    dp = make_parallel_train_step(spec, cfg, mesh_dp)
-    state_a, m_a = dp(state_a, shard_batch(batch, mesh_dp))
+    single = make_train_step(spec, cfg)
+    state_a, m_a = single(state_a, batch)
 
     mesh = make_mesh({"data": 2, "model": 4})
     # the 1024-wide MLP layers and the 1024->512->256 head must shard
@@ -377,3 +388,7 @@ def test_collective_traffic_from_hlo():
     traffic = compiled_collective_traffic(compiled)
     assert traffic["total_bytes"] >= n_params * 4  # grad all-reduce at least
     assert any(op in traffic["by_op"] for op in ("all-reduce", "reduce-scatter"))
+    # regression guard: the GSPMD formulation leaked batch-scaled
+    # all-gathers from the ball-query top_k (50 MB/step at d=8); the
+    # shard_map step's total collective traffic must stay parameter-sized
+    assert traffic["total_bytes"] <= n_params * 4 * 4, traffic["by_op"]
