@@ -47,13 +47,21 @@ results = {}
 if os.path.exists(OUT):
     results = json.load(open(OUT))
 
-for tag, acl in (("ref", False), ("acl", True)):
+JOBS = [
+    ("ref", "translation", False),
+    ("acl", "translation", True),
+    ("width_ref", "width", False),
+    ("width_acl", "width", True),
+]
+
+for tag, model, acl in JOBS:
     if tag in results:
         continue
     t0 = time.time()
     cfg = TrainConfig.for_model(
-        "translation", experiment=f"r3_translation_{tag}", epochs=EPOCHS,
-        batch_size=24, ckpt_every=10, augment_consistent_labels=acl,
+        model, experiment=f"r3_{tag}" if model != "translation" else f"r3_translation_{tag}",
+        epochs=EPOCHS, batch_size=24, ckpt_every=10,
+        augment_consistent_labels=acl,
     )
     _, history = train(cfg, train_ds, test_ds, resume=True)
     path = os.path.join(cfg.log_dir, "pose", cfg.experiment,
@@ -62,13 +70,15 @@ for tag, acl in (("ref", False), ("acl", True)):
     state, meta = load_checkpoint(path, fresh)
     ev = evaluate(cfg, state, test_ds)
     results[tag] = {
+        "model": model,
         "augment_consistent_labels": acl,
         "epochs": EPOCHS,
         "best_epoch": meta["epoch"],
-        "axis_err_cm": ev["axis_err"],
-        "mean_err_cm": ev["mean_err"],
+        "mean_err": ev["mean_err"],
         "wall_s": round(time.time() - t0, 1),
     }
+    if "axis_err" in ev:
+        results[tag]["axis_err_cm"] = ev["axis_err"]
     print(tag, json.dumps(results[tag]), flush=True)
     with open(OUT, "w") as f:
         json.dump(results, f, indent=2)

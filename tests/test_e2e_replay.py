@@ -93,20 +93,25 @@ def test_depth_fixture_deprojects_and_clusters():
 
 
 def _trained_checkpoints() -> dict | None:
-    """Best checkpoints from the round-2 training suite, if present."""
+    """Best checkpoints from the training suites (round 3 preferred; the
+    round-3 set is COMMITTED so this test runs from a fresh clone)."""
     names = {
-        "classifier": "classification/r2_pointnet2_cls_ssg",
-        "rotation": "pose/r2_rotation",
-        "sign": "pose/r2_sign",
-        "translation": "pose/r2_translation",
-        "width": "pose/r2_width",
+        "classifier": ["classification/r3_pointnet2_cls_ssg",
+                       "classification/r2_pointnet2_cls_ssg"],
+        "rotation": ["pose/r3_rotation", "pose/r2_rotation"],
+        "sign": ["pose/r3_sign", "pose/r2_sign"],
+        "translation": ["pose/r3_translation_ref", "pose/r2_translation"],
+        "width": ["pose/r3_width_ref", "pose/r2_width"],
     }
     out = {}
-    for key, sub in names.items():
-        path = os.path.join("log", sub, "checkpoints", "best.msgpack")
-        if not os.path.exists(path):
+    for key, subs in names.items():
+        for sub in subs:
+            path = os.path.join("log", sub, "checkpoints", "best.msgpack")
+            if os.path.exists(path):
+                out[key] = path
+                break
+        else:
             return None
-        out[key] = path
     return out
 
 
