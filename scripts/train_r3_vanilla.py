@@ -1,8 +1,11 @@
-"""Round-3 vanilla rotation + sign heads (reference recipe) — the two
-pipeline checkpoints not covered by train_round3.py (MSG/SSG families) or
-exp_translation_labels.py (translation/width). Together they complete the
-5-model set the committed-checkpoint policy ships for the e2e replay test
-(tests/test_e2e_replay.py)."""
+"""Round-3 vanilla pipeline checkpoints (short recipe, endgame window).
+
+Trains/resumes the vanilla heads whose BEST checkpoints ship in git so the
+trained e2e replay test (tests/test_e2e_replay.py) runs from a fresh
+clone. The e2e assertions need correct classes + localization, not
+converged pose accuracy, so rotation/sign use short budgets; translation
+(r3_translation_ref, 60 epochs) already exists from the label experiment;
+width resumes to its 60-epoch budget. Every job is resume-safe."""
 import json
 import os
 import sys
@@ -21,13 +24,20 @@ DATA = os.environ.get("PLPE_DATASET", "data_cache/dataset_full.npz")
 train_ds = load_dataset(DATA, "train")
 test_ds = load_dataset(DATA, "test")
 
-for model, epochs in (("rotation", 100), ("sign", 60)):
+JOBS = [
+    ("rotation", "r3_rotation", 25, {}),
+    ("sign", "r3_sign", 20, {}),
+    ("width", "r3_width_ref", 60, {}),
+    ("width", "r3_width_acl", 60, {"augment_consistent_labels": True}),
+]
+
+for model, exp, epochs, extra in JOBS:
     t0 = time.time()
     cfg = TrainConfig.for_model(
-        model, experiment=f"r3_{model}", epochs=epochs, batch_size=24,
-        ckpt_every=10,
+        model, experiment=exp, epochs=epochs, batch_size=24, ckpt_every=10,
+        **extra,
     )
     _, history = train(cfg, train_ds, test_ds, resume=True)
     last = history[-1] if history else {}
-    print(model, json.dumps(last), f"wall={time.time()-t0:.0f}s", flush=True)
+    print(exp, json.dumps(last), f"wall={time.time()-t0:.0f}s", flush=True)
 print("DONE", flush=True)
