@@ -59,6 +59,62 @@ def fmt(model, kind, rec):
     return f"| `{model}` | {be.get('mean_err', float('nan'))*100:.2f} cm abs width error | {extra} |"
 
 
+def _sweep_section():
+    path = "log/sweep_r3/sweep_results.json"
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        sweep = json.load(f)
+    lines = [
+        "### Loss/reduction ablation sweep (reference train.py:4-20 grid)",
+        "",
+        "25 epochs per config on the full-scale set (reduced from the",
+        "reference's 100; cli.py sweep). Last-epoch test metric:",
+        "",
+        "| Config | Test metric |",
+        "|---|---|",
+    ]
+    for name, row in sweep.items():
+        metric = row.get("test_mean_err", row.get("test_metric"))
+        unit = ("deg/axis" if name.startswith("rotation")
+                else "cm/axis" if name.startswith("translation")
+                else "acc")
+        if isinstance(metric, float) and unit == "acc":
+            lines.append(f"| `{name}` | {metric*100:.2f}% |")
+        else:
+            lines.append(f"| `{name}` | {metric:.2f} {unit} |")
+    lines.append("")
+    return lines
+
+
+def _label_experiment_section():
+    path = "log/translation_label_experiment.json"
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        exp = json.load(f)
+    lines = [
+        "### Beyond-reference: label-consistent augmentation (PARITY.md)",
+        "",
+        "| Arm | Result |",
+        "|---|---|",
+    ]
+    for tag, row in exp.items():
+        if "axis_err_cm" in row:
+            ax = " / ".join(f"{a:.2f}" for a in row["axis_err_cm"])
+            lines.append(
+                f"| `{tag}` (acl={row['augment_consistent_labels']}) | "
+                f"{row.get('mean_err_cm', row.get('mean_err')):.2f} cm/axis (x/y/z: {ax}), "
+                f"{row['epochs']} epochs |")
+        else:
+            lines.append(
+                f"| `{tag}` (acl={row['augment_consistent_labels']}) | "
+                f"{row.get('mean_err', float('nan'))*100:.2f} cm width err, "
+                f"{row['epochs']} epochs |")
+    lines.append("")
+    return lines
+
+
 def main():
     results = {}
     for path in ("log/round2_results.json", "log/round3_results.json"):
@@ -98,6 +154,8 @@ def main():
         "log/round2_results.json, log/round3_results.json.",
         "",
     ]
+    lines += _sweep_section()
+    lines += _label_experiment_section()
     with open("BASELINE.md") as f:
         base = f.read()
     head = base.split(MARKER)[0].rstrip() + "\n\n"
