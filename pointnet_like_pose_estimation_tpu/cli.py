@@ -153,9 +153,21 @@ def cmd_sweep(args):
                 jobs.append((model, kind, reduction))
     jobs.append(("pointnet_cls", "L2_loss", "mean"))
     out_path = os.path.join(args.log_dir, "sweep_results.json")
+    settings = {"epochs": args.epochs, "data": args.data}
     if os.path.exists(out_path):  # resume a partial sweep
         with open(out_path) as f:
             results = json.load(f)
+        # resume is keyed by config name only — refuse to mix budgets:
+        # stale results from a different epochs/data setting would silently
+        # survive into this run's results file
+        prev = results.get("_settings")
+        if prev is not None and prev != settings:
+            raise SystemExit(
+                f"sweep resume: {out_path} was produced with settings {prev}, "
+                f"current invocation uses {settings}; delete the file or "
+                f"pass a different --log-dir to start a fresh sweep"
+            )
+    results["_settings"] = settings
     for model, kind, reduction in jobs:
         name = f"{model}_{kind}_{reduction}"
         if name in results:

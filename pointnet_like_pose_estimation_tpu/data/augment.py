@@ -26,6 +26,13 @@ import jax.numpy as jnp
 
 from pointnet_like_pose_estimation_tpu.ops import normalize_cloud
 
+# Reference augmentation distributions (provider.py:131-155). These are the
+# single source of truth — train/steps.py's label-consistent branch draws
+# from the SAME constants so the two arms of the label-noise A/B
+# (PARITY.md) can never silently diverge.
+SCALE_LO, SCALE_HI = 0.8, 1.25
+SHIFT_RANGE = 0.1
+
 
 def random_point_dropout(key: jax.Array, points: jax.Array, max_ratio: float = 0.875) -> jax.Array:
     """Replace a random subset of each cloud with its first point."""
@@ -36,14 +43,14 @@ def random_point_dropout(key: jax.Array, points: jax.Array, max_ratio: float = 0
     return jnp.where(drop[..., None], points[:, :1, :], points)
 
 
-def random_scale(key: jax.Array, points: jax.Array, lo: float = 0.8, hi: float = 1.25) -> jax.Array:
+def random_scale(key: jax.Array, points: jax.Array, lo: float = SCALE_LO, hi: float = SCALE_HI) -> jax.Array:
     """Per-cloud uniform scale."""
     B = points.shape[0]
     s = jax.random.uniform(key, (B, 1, 1), minval=lo, maxval=hi)
     return points * s
 
 
-def random_shift(key: jax.Array, points: jax.Array, rng: float = 0.1) -> jax.Array:
+def random_shift(key: jax.Array, points: jax.Array, rng: float = SHIFT_RANGE) -> jax.Array:
     """Per-cloud uniform translation."""
     B, _, C = points.shape
     t = jax.random.uniform(key, (B, 1, C), minval=-rng, maxval=rng)

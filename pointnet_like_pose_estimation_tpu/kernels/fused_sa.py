@@ -146,8 +146,13 @@ def _pick_tile(N, P, S, ks, widths, budget=None):
     up = lambda x, m: -(-x // m) * m  # noqa: E731
     Np, Pp = up(N, 128), up(P, 128)
     Kmax, Cmax = max(ks), up(max(widths), 128)
+    if S % 8 != 0:
+        raise ValueError(
+            f"fused_sa_infer needs a centroid count divisible by 8 "
+            f"(sublane tiling); got S={S}. Pad the centroid set."
+        )
     t = min(128, S)
-    while t > 8:
+    while t >= 8:
         if S % t == 0 and t % 8 == 0:
             fixed = 4 * (up(N, 8) * Pp * 2 + t * Np)          # pts blocks + d2ish
             scr = 4 * (t * Np + t * 128                       # sel, fidx
@@ -156,7 +161,11 @@ def _pick_tile(N, P, S, ks, widths, budget=None):
             if fixed + scr <= budget:
                 return t
         t -= 8
-    return 8
+    raise ValueError(
+        f"fused_sa_infer: no centroid tile fits the VMEM budget "
+        f"({budget} bytes) for N={N}, P={P}, S={S}, Kmax={Kmax}, "
+        f"Cmax={Cmax}; raise PLPE_FUSEDSA_VMEM_BUDGET or shrink the layer."
+    )
 
 
 @functools.partial(
@@ -201,7 +210,10 @@ def fused_sa_infer(
         if arr.ndim == 1:
             arr = arr[None, :]                                # b -> [1, C]
         w_specs.append(
-            pl.BlockSpec(arr.shape, lambda b, s: (0,) * arr.ndim,
+            # bind the rank at lambda creation (nd=...) — a bare arr.ndim
+            # would late-bind the loop variable and index every weight with
+            # the LAST array's rank if the 2-D coercion above ever changed
+            pl.BlockSpec(arr.shape, lambda b, s, nd=arr.ndim: (0,) * nd,
                          memory_space=pltpu.VMEM)
         )
         w_args.append(arr)

@@ -35,9 +35,12 @@ def _prepare_inputs(spec: ModelSpec, cfg: TrainConfig, key, batch, train: bool):
             # targets too — removes the reference's train-time label noise
             # (see TrainConfig.augment_consistent_labels)
             B = points.shape[0]
-            s = jax.random.uniform(k2, (B, 1, 1), minval=0.8, maxval=1.25)
+            s = jax.random.uniform(
+                k2, (B, 1, 1), minval=aug.SCALE_LO, maxval=aug.SCALE_HI
+            )
             u = jax.random.uniform(
-                k3, (B, 1, points.shape[-1]), minval=-0.1, maxval=0.1
+                k3, (B, 1, points.shape[-1]),
+                minval=-aug.SHIFT_RANGE, maxval=aug.SHIFT_RANGE,
             )
             points = points * s + u
             batch = dict(batch)

@@ -28,14 +28,27 @@ _COLLECTIVES = (
 
 # e.g. "%all-reduce.1 = f32[1024,128]{1,0} all-reduce(%x), replica_groups..."
 #      "... = (f32[8]{0}, f32[4]{0}) all-reduce(...)"
+# Real-TPU compiles emit ASYNC pairs ("all-reduce-start" / "all-reduce-done");
+# match the "-start" half (it carries the shapes) and skip "-done" so each
+# collective counts exactly once regardless of sync/async lowering.
 _OP_RE = re.compile(
-    r"=\s*(?P<shapes>\([^)]*\)|\S+)\s+(?P<op>" + "|".join(_COLLECTIVES) + r")\("
+    r"=\s*(?P<shapes>\([^)]*\)|\S+)\s+(?P<op>"
+    + "|".join(_COLLECTIVES)
+    + r")(?P<async>-start)?\("
 )
 _SHAPE_RE = re.compile(r"(?P<dtype>\w+)\[(?P<dims>[\d,]*)\]")
 
 
-def _shape_bytes(shape: str) -> int:
-    total = 0
+def _shape_bytes(shape: str, *, result_only: bool = False) -> int:
+    """Bytes of all arrays in a shape group.
+
+    ``result_only``: async "-start" ops return a TUPLE of
+    (operand, result[, context]) shapes; summing would double-count, so
+    take the single largest element instead (== the collective result:
+    equal to the operand for all-reduce, the gathered output — the
+    largest — for all-gather; context scalars are negligible).
+    """
+    sizes = []
     for m in _SHAPE_RE.finditer(shape):
         dt = _DTYPE_BYTES.get(m.group("dtype"))
         if dt is None:
@@ -45,8 +58,10 @@ def _shape_bytes(shape: str) -> int:
         for d in dims.split(","):
             if d:
                 n *= int(d)
-        total += n * dt
-    return total
+        sizes.append(n * dt)
+    if not sizes:
+        return 0
+    return max(sizes) if result_only else sum(sizes)
 
 
 def collective_traffic(hlo_text: str) -> dict:
@@ -63,7 +78,9 @@ def collective_traffic(hlo_text: str) -> dict:
         if not m:
             continue
         op = m.group("op")
-        b = _shape_bytes(m.group("shapes"))
+        b = _shape_bytes(
+            m.group("shapes"), result_only=m.group("async") is not None
+        )
         rec = by_op.setdefault(op, {"count": 0, "bytes": 0})
         rec["count"] += 1
         rec["bytes"] += b

@@ -75,6 +75,8 @@ def _sweep_section():
         "|---|---|",
     ]
     for name, row in sweep.items():
+        if name.startswith("_"):  # metadata (e.g. _settings), not a config
+            continue
         metric = row.get("test_mean_err", row.get("test_metric"))
         unit = ("deg/axis" if name.startswith("rotation")
                 else "cm/axis" if name.startswith("translation")

@@ -392,3 +392,34 @@ def test_collective_traffic_from_hlo():
     # all-gathers from the ball-query top_k (50 MB/step at d=8); the
     # shard_map step's total collective traffic must stay parameter-sized
     assert traffic["total_bytes"] <= n_params * 4 * 4, traffic["by_op"]
+
+
+def test_collective_traffic_async_start_forms():
+    """Real-TPU compiles lower collectives to async -start/-done pairs;
+    the analyzer must count them (ADVICE r3: the sync-only regex silently
+    returned 0 bytes on hardware), once each, without double-counting the
+    tuple-shaped (operand, result) start output."""
+    from pointnet_like_pose_estimation_tpu.utils.hlo import collective_traffic
+
+    hlo = "\n".join(
+        [
+            # async all-reduce: tuple of (operand, result) — count once
+            "%ars = (f32[1024,128]{1,0}, f32[1024,128]{1,0})"
+            " all-reduce-start(f32[1024,128]{1,0} %p), replica_groups={}",
+            "%ard = f32[1024,128]{1,0} all-reduce-done(%ars)",
+            # async all-gather: (operand, gathered) — count the OUTPUT only
+            "%ags = (f32[8,256]{1,0}, f32[64,256]{1,0})"
+            " all-gather-start(f32[8,256]{1,0} %q), dimensions={0}",
+            "%agd = f32[64,256]{1,0} all-gather-done(%ags)",
+            # sync form still counted
+            "%ar2 = f32[16]{0} all-reduce(f32[16]{0} %r), to_apply=%sum",
+        ]
+    )
+    t = collective_traffic(hlo)
+    assert t["by_op"]["all-reduce"]["count"] == 2
+    assert t["by_op"]["all-gather"]["count"] == 1
+    ar_bytes = 1024 * 128 * 4 + 16 * 4
+    ag_bytes = 64 * 256 * 4
+    assert t["by_op"]["all-reduce"]["bytes"] == ar_bytes
+    assert t["by_op"]["all-gather"]["bytes"] == ag_bytes
+    assert t["total_bytes"] == ar_bytes + ag_bytes
