@@ -39,14 +39,14 @@ V5E_PEAK_FLOPS = {"bf16": 197e12, "f32": 99e12}
 V5E_HBM_BYTES_PER_S = 819e9
 
 
-def _time(fn, *args, iters=30):
-    jax.block_until_ready(fn(*args))  # compile + warmup
-    jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def _time(fn, *args, iters=None):
+    """Sustained seconds/call (utils/profiling.sustained_time): over the
+    tunneled TPU, block_until_ready can return early for short dispatch
+    queues, so short timed loops measure dispatch, not compute (round-4
+    finding; see docs/PERF.md measurement-protocol note)."""
+    from pointnet_like_pose_estimation_tpu.utils import sustained_time
+
+    return sustained_time(fn, *args, min_seconds=2.0)
 
 
 def _fake_batch(rng, bs, n=1024):
@@ -81,12 +81,17 @@ def _train_step_time(model_name, bs, rng, iters=30, dtype="float32"):
         flops, bytes_ = 0.0, 0.0
 
     state, m = step(state, batch)
-    jax.block_until_ready(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step(state, batch)
-    jax.block_until_ready(m["loss"])
-    return (time.perf_counter() - t0) / iters, flops, bytes_
+    jax.device_get(m["loss"])
+    n = 8
+    while True:  # sustained protocol (see _time); donated state threads through
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, m = step(state, batch)
+        jax.device_get(m["loss"])
+        dt = time.perf_counter() - t0
+        if dt >= 2.0 or n >= 4096:
+            return dt / n, flops, bytes_
+        n = min(4096, max(n * 2, int(n * 2.0 / max(dt, 1e-9)) + 1))
 
 
 def headline(report):

@@ -31,14 +31,15 @@ import jax.numpy as jnp
 from pointnet_like_pose_estimation_tpu.utils import enable_compile_cache
 
 
-def _time(fn, *args, iters=30):
-    jax.block_until_ready(fn(*args))
-    jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def _time(fn, *args):
+    """Sustained timing (utils/profiling.sustained_time). The round-3
+    version of this file used 30-iteration block_until_ready loops; over the
+    axon tunnel that measures dispatch for small programs (block can return
+    early on short queues), which is where the 'capriciously fast small-batch
+    XLA' rows came from. Re-measured rows supersede them."""
+    from pointnet_like_pose_estimation_tpu.utils import sustained_time
+
+    return sustained_time(fn, *args, min_seconds=2.0)
 
 
 def main():

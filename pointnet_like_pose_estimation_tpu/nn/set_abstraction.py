@@ -113,7 +113,12 @@ class SetAbstractionMSG(nn.Module):
             return centroids, jnp.concatenate(outs, axis=-1)
         fps_idx = farthest_point_sample(points, self.num_centroids)
         centroids = index_points(points, fps_idx)
-        impl = _grouping_impl()
+        # the fused multi-scale kernel amortizes ONE distance matmul across
+        # all radius scales, so its dispatch shape is the LARGEST K
+        impl = _grouping_impl(
+            points.shape[0], points.shape[1], self.num_centroids,
+            max(self.num_neighbors_list),
+        )
         if impl.startswith("pallas") and self.num_centroids % 8 == 0:
             from pointnet_like_pose_estimation_tpu.kernels.ball_group import (
                 ball_query_multi_pallas,

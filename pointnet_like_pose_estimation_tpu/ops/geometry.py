@@ -13,8 +13,11 @@ provider.py:66-92 and data_build/Cube.py:59-72.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def square_distance(src: jax.Array, dst: jax.Array) -> jax.Array:
@@ -45,11 +48,61 @@ def square_distance(src: jax.Array, dst: jax.Array) -> jax.Array:
     return -2.0 * inner + s2 + jnp.swapaxes(d2, -1, -2)
 
 
+def _gather(points: jax.Array, idx: jax.Array) -> jax.Array:
+    B, N, C = points.shape
+    out_shape = idx.shape + (C,)
+    flat_idx = idx.reshape(B, -1)                             # [B, S*K]
+    got = jnp.take_along_axis(points, flat_idx[..., None], axis=1)
+    return got.reshape(out_shape)
+
+
+@jax.custom_vjp
+def _gather_matmul_vjp(points: jax.Array, idx: jax.Array) -> jax.Array:
+    return _gather(points, idx)
+
+
+def _gather_fwd(points, idx):
+    return _gather(points, idx), (idx, points.shape)
+
+
+def _gather_bwd(res, g):
+    """Gather transpose as a one-hot MXU matmul instead of XLA's scatter-add.
+
+    TPU scatters with duplicate indices serialize; the segment-sum
+    ``dPoints[b] = onehot(idx)[b]^T @ dOut[b]`` is a dense batched GEMM the
+    MXU eats (measured: log/scatter_bwd_probe.json). The one-hot is
+    materialized per batch row ([B, S*K, N] f32), so this path is gated to
+    shapes where that buffer is modest; ``index_points`` falls back to the
+    native scatter elsewhere.
+    """
+    idx, (B, N, C) = res
+    flat = idx.reshape(B, -1)                                 # [B, SK]
+    gf = g.reshape(B, -1, C).astype(jnp.float32)              # [B, SK, C]
+    onehot = jax.nn.one_hot(flat, N, dtype=jnp.float32)       # [B, SK, N]
+    dpts = jax.lax.dot_general(
+        onehot, gf, (((1,), (1,)), ((0,), (0,))),             # contract SK
+        preferred_element_type=jnp.float32,
+    )                                                         # [B, N, C]
+    return dpts.astype(g.dtype), np.zeros(idx.shape, jax.dtypes.float0)
+
+
+_gather_matmul_vjp.defvjp(_gather_fwd, _gather_bwd)
+
+# gather-backward strategy: "scatter" (XLA native), "matmul" (one-hot
+# segment-sum GEMM), or "auto" (matmul when the transient one-hot buffer is
+# small enough; threshold in bytes, default 1.5 GB)
+_GATHER_VJP = os.environ.get("PLPE_GATHER_VJP", "auto")
+_ONEHOT_BUDGET = float(os.environ.get("PLPE_GATHER_VJP_BUDGET", 1.5e9))
+
+
 def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     """Batched gather: ``out[b, ...s, :] = points[b, idx[b, ...s], :]``.
 
     Equivalent of pointnet2_utils.py:28-45 but expressed as
-    ``take_along_axis`` so XLA emits a single fused gather.
+    ``take_along_axis`` so XLA emits a single fused gather. The BACKWARD is
+    the train step's one scatter-add (docs/PERF.md); under
+    ``PLPE_GATHER_VJP=auto|matmul`` it becomes a one-hot segment-sum GEMM
+    (measured faster on v5e at the SA shapes, log/scatter_bwd_probe.json).
 
     Args:
       points: ``[B, N, C]``.
@@ -58,11 +111,15 @@ def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     Returns:
       ``[B, S, C]`` or ``[B, S, K, C]``.
     """
-    B, N, C = points.shape
-    out_shape = idx.shape + (C,)
-    flat_idx = idx.reshape(B, -1)                             # [B, S*K]
-    got = jnp.take_along_axis(points, flat_idx[..., None], axis=1)
-    return got.reshape(out_shape)
+    if _GATHER_VJP != "scatter":
+        B, N, _ = points.shape
+        sk = 1
+        for d in idx.shape[1:]:
+            sk *= d
+        onehot_bytes = B * sk * N * 4
+        if _GATHER_VJP == "matmul" or onehot_bytes <= _ONEHOT_BUDGET:
+            return _gather_matmul_vjp(points, idx)
+    return _gather(points, idx)
 
 
 def normalize_cloud(points: jax.Array, eps: float = 1e-12) -> jax.Array:

@@ -23,10 +23,15 @@ from pointnet_like_pose_estimation_tpu.ops.geometry import (
 from pointnet_like_pose_estimation_tpu.ops.sampling import farthest_point_sample
 
 
-def _grouping_impl() -> str:
+def _grouping_impl(
+    batch: int | None = None,
+    num_points: int | None = None,
+    num_centroids: int | None = None,
+    num_neighbors: int | None = None,
+) -> str:
     from pointnet_like_pose_estimation_tpu.kernels import flags
 
-    return flags.grouping_impl()
+    return flags.grouping_impl(batch, num_points, num_centroids, num_neighbors)
 
 
 def query_ball_point(
@@ -52,7 +57,7 @@ def query_ball_point(
       ``[B, S, K]`` int32 indices into the N axis.
     """
     B, N, _ = points.shape
-    impl = _grouping_impl()
+    impl = _grouping_impl(B, N, centroids.shape[1], num_neighbors)
     if impl.startswith("pallas") and centroids.shape[1] % 8 == 0:
         from pointnet_like_pose_estimation_tpu.kernels.ball_group import (
             ball_query_pallas,
@@ -166,7 +171,11 @@ def sample_and_group(
     # query_ball_point dispatches to the Pallas kernel on TPU (the [B, S, N]
     # distance matrix stays in VMEM); on the XLA path, big S*N tiles the
     # centroid axis so the matrix never materializes in HBM
-    if not _grouping_impl().startswith("pallas") and S >= 128 and N >= 4096:
+    if (
+        not _grouping_impl(points.shape[0], N, S, num_neighbors).startswith("pallas")
+        and S >= 128
+        and N >= 4096
+    ):
         idx = query_ball_point_chunked(radius, num_neighbors, points, centroids)
     else:
         idx = query_ball_point(radius, num_neighbors, points, centroids)

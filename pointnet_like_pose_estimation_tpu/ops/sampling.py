@@ -50,7 +50,7 @@ def farthest_point_sample(
 
     from pointnet_like_pose_estimation_tpu.kernels.flags import fps_impl
 
-    impl = fps_impl()
+    impl = fps_impl(B, N)
     if impl.startswith("pallas"):
         from pointnet_like_pose_estimation_tpu.kernels.fps import fps_pallas
 

@@ -37,13 +37,23 @@ def timeit(fn, *args, iters=20):
 def main():
     rng = np.random.default_rng(0)
     out = {}
+    if os.path.exists("log/scatter_bwd_probe.json"):
+        out = json.load(open("log/scatter_bwd_probe.json"))
     # SA2 backward shape at B=256: grads [B, S=128, K=64, C=128+3] scatter
     # into [B, N=512, C]; SA1 grads [B,512,32,C_small] exist too but carry
     # no feature gradient (xyz inputs are leaves)
-    for tag, (B, N, S, K, C) in {
-        "sa2_b256": (256, 512, 128, 64, 131),
+    # b24 (the training batch) first; b64 extrapolates toward the bench
+    # batches. The isolated-scatter compile at B=256 exceeds any practical
+    # time box (>35 min, observed rounds 3 AND 4) — the b256 effect is
+    # measured end-to-end instead by the full-step A/B (scripts/ab_round4.py),
+    # whose train-step program compiles normally in either VJP mode.
+    shapes = {
         "sa2_b24": (24, 512, 128, 64, 131),
-    }.items():
+        "sa2_b64": (64, 512, 128, 64, 131),
+    }
+    if os.environ.get("PLPE_PROBE_B256"):
+        shapes["sa2_b256"] = (256, 512, 128, 64, 131)
+    for tag, (B, N, S, K, C) in shapes.items():
         feats = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
         idx = jnp.asarray(rng.integers(0, N, (B, S, K)), jnp.int32)
         g = jnp.asarray(rng.standard_normal((B, S, K, C)), jnp.float32)

@@ -33,6 +33,13 @@ ROWS = [
     ("translation_msg", "cm"),
     ("width", "m"),
     ("pose", "deg"),
+    # the rest of pose.py's config lattice (model/pose.py:47-91, VERDICT r3
+    # missing #2): input transform, feature transform, mean-residual
+    # translation, classify branch
+    ("pose_transform", "deg"),
+    ("pose_feat_trans", "deg"),
+    ("pose_mean", "cm"),
+    ("pose_classify", "cls"),
 ]
 
 
@@ -119,7 +126,11 @@ def _label_experiment_section():
 
 def main():
     results = {}
-    for path in ("log/round2_results.json", "log/round3_results.json"):
+    for path in (
+        "log/round2_results.json",
+        "log/round3_results.json",
+        "log/round4_results.json",
+    ):
         if os.path.exists(path):
             with open(path) as f:
                 for model, rec in json.load(f).items():
@@ -133,12 +144,12 @@ def main():
     lines = [
         MARKER,
         "",
-        "## Measured results (rounds 2-3): reference recipe on the full-scale set",
+        "## Measured results (rounds 2-4): reference recipe on the full-scale set",
         "",
         "7 classes x 8,000 clouds (6,001/1,999 split per class, N=1024 — the",
         "reference's exact dataset scale, ModelDataLoader.py:56-58), batch 24,",
         "Adam lr 1e-3 (cls) / 1e-4 (pose), wd 1e-4, StepLR(20, 0.7) — trained",
-        "end-to-end on ONE v5e chip via scripts/train_round{2,3}.py; metrics",
+        "end-to-end on ONE v5e chip via scripts/train_round{2,3,4}.py; metrics",
         "from the best checkpoint on the held-out test split (13,993 clouds).",
         "",
         "| Model | Test metric | Notes |",
@@ -152,8 +163,13 @@ def main():
         "construction — a cylinder's z-rotation sign is unobservable from",
         "geometry (rotational symmetry); the other 6 classes carry the metric.",
         "`pose` is the generic configurable head (reference model/pose.py:7-105)",
-        "in its rotation configuration. Raw per-class numbers:",
-        "log/round2_results.json, log/round3_results.json.",
+        "in its rotation configuration; `pose_{transform,feat_trans,mean,",
+        "classify}` are the rest of its config lattice (:47-91).",
+        "`pose_classify` is trivially perfect BY CONSTRUCTION — pose.py",
+        "consumes the same spliced (3+7)-channel input in every config, so",
+        "the classify branch sees its own one-hot label (reference quirk,",
+        "reproduced faithfully). Raw per-class numbers:",
+        "log/round{2,3,4}_results.json.",
         "",
     ]
     lines += _sweep_section()

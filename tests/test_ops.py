@@ -151,3 +151,41 @@ def test_query_ball_point_empty_ball_clamps(clouds):
     np.testing.assert_array_equal(got, want)
     assert got.max() <= N - 1  # in-bounds for any gather
     assert (got == N - 1).all()
+
+
+def test_index_points_matmul_vjp_matches_scatter(clouds):
+    """The one-hot segment-sum backward (PLPE_GATHER_VJP=matmul) must equal
+    XLA's native scatter-add transpose: same dPoints for duplicate indices
+    (ball-query pads repeat the first in-ball index, so duplicates are the
+    common case, pointnet2_utils.py:85-89)."""
+    import jax
+
+    from pointnet_like_pose_estimation_tpu.ops import geometry
+
+    feats = jnp.asarray(np.random.default_rng(3).standard_normal((4, 100, 16)),
+                        jnp.float32)
+    idx = jnp.asarray(
+        np.random.default_rng(4).integers(0, 100, (4, 12, 8)), jnp.int32
+    )
+    idx = idx.at[:, :, 1].set(idx[:, :, 0])  # force duplicates
+
+    def loss(f, gather):
+        return jnp.sum(jnp.sin(gather(f, idx)))
+
+    g_scatter = jax.grad(lambda f: loss(f, geometry._gather))(feats)
+    g_matmul = jax.grad(lambda f: loss(f, geometry._gather_matmul_vjp))(feats)
+    np.testing.assert_allclose(
+        np.asarray(g_scatter), np.asarray(g_matmul), rtol=1e-5, atol=1e-5
+    )
+
+    # the dispatching wrapper stays correct in both modes
+    old = geometry._GATHER_VJP
+    try:
+        for mode in ("scatter", "matmul", "auto"):
+            geometry._GATHER_VJP = mode
+            g = jax.grad(lambda f: loss(f, geometry.index_points))(feats)
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(g_scatter), rtol=1e-5, atol=1e-5
+            )
+    finally:
+        geometry._GATHER_VJP = old
