@@ -59,16 +59,24 @@ def sustained_time(fn, *args, min_seconds: float = 2.0, max_iters: int = 4096):
     final barrier — queue depth is bounded, so a long enough run converges
     to the true sustained rate with error <= queue_depth / iters.
     """
+    def _sync(out):
+        # fetch ONE element to the host as the barrier: completing the
+        # slice implies the producing buffer completed, and 4 bytes over
+        # the tunnel is free — device_get of the full array would add a
+        # multi-second host transfer for large outputs and poison the
+        # measurement
+        leaf = jax.tree.leaves(out)[0]
+        jax.device_get(leaf.ravel()[0] if getattr(leaf, "ndim", 0) else leaf)
+
     out = fn(*args)
     jax.block_until_ready(out)
-    jax.device_get(jax.tree.leaves(out)[0])
+    _sync(out)
     iters = 4
     while True:
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        jax.block_until_ready(out)
-        jax.device_get(jax.tree.leaves(out)[0])
+        _sync(out)
         t = time.perf_counter() - t0
         if t >= min_seconds or iters >= max_iters:
             return t / iters

@@ -50,22 +50,24 @@ print(f"train={len(train_ds)} test={len(test_ds)}", flush=True)
 # names resume the surviving round-3 checkpoints; r4_* are fresh (lattice).
 # Targets follow the reference recipe caps used per family in rounds 2-3
 # (100 for cls/rotation/translation, 60 for sign/width-class budgets).
+# 4 passes; each tranche is sized so a deadline cut mid-tranche overruns by
+# <= ~45 min of chip time (the deadline is only checked between jobs)
 JOBS = [
     # cheap first: the pose.py lattice (vanilla speed, fresh)
-    ("pose_classify", "r4_pose_classify", [10, 10], {}),
-    ("pose_transform", "r4_pose_transform", [60, 100], {}),
-    ("pose_feat_trans", "r4_pose_feat_trans", [60, 100], {}),
-    ("pose_mean", "r4_pose_mean", [60, 100], {}),
+    ("pose_classify", "r4_pose_classify", [10, 10, 10, 10], {}),
+    ("pose_transform", "r4_pose_transform", [60, 100, 100, 100], {}),
+    ("pose_feat_trans", "r4_pose_feat_trans", [60, 100, 100, 100], {}),
+    ("pose_mean", "r4_pose_mean", [60, 100, 100, 100], {}),
     # SSG family off best@last, then to the full recipe
-    ("sign_ssg", "r3_sign_ssg", [60, 60], {}),
-    ("translation_ssg", "r3_translation_ssg", [60, 100], {}),
-    ("rotation_ssg", "r3_rotation_ssg", [60, 100], {}),
-    ("pointnet2_cls_ssg", "r3_pointnet2_cls_ssg", [70, 100], {}),
+    ("sign_ssg", "r3_sign_ssg", [60, 60, 60, 60], {}),
+    ("translation_ssg", "r3_translation_ssg", [60, 100, 100, 100], {}),
+    ("rotation_ssg", "r3_rotation_ssg", [60, 100, 100, 100], {}),
+    ("pointnet2_cls_ssg", "r3_pointnet2_cls_ssg", [70, 100, 100, 100], {}),
     # MSG family: the expensive tail, largest-value first
-    ("rotation_msg", "r3_rotation_msg", [40, 100], {"epoch_chunk": 125}),
-    ("translation_msg", "r3_translation_msg", [40, 100], {"epoch_chunk": 125}),
-    ("sign_msg", "r3_sign_msg", [30, 60], {"epoch_chunk": 125}),
-    ("pointnet2_cls_msg", "r3_pointnet2_cls_msg", [25, 40], {"epoch_chunk": 125}),
+    ("rotation_msg", "r3_rotation_msg", [40, 60, 80, 100], {"epoch_chunk": 125}),
+    ("translation_msg", "r3_translation_msg", [40, 60, 80, 100], {"epoch_chunk": 125}),
+    ("sign_msg", "r3_sign_msg", [30, 45, 60, 60], {"epoch_chunk": 125}),
+    ("pointnet2_cls_msg", "r3_pointnet2_cls_msg", [25, 40, 40, 40], {"epoch_chunk": 125}),
 ]
 
 results = {}
@@ -95,7 +97,7 @@ def save():
         json.dump(results, f, indent=2)
 
 
-for p in range(2):
+for p in range(4):
     for model, experiment, targets, extra in JOBS:
         epochs = targets[p]
         done = results.get(model, {})

@@ -295,3 +295,19 @@ def test_augment_consistent_labels_flag(tiny_ds, tmp_path):
     _, hist = train(cfg, tr, te)
     assert len(hist) == 2
     assert np.isfinite(hist[-1]["train_loss"])
+
+
+def test_sustained_time_converges():
+    """sustained_time grows its iteration count until the timed span is real
+    wall clock (the round-4 fix for block_until_ready early-return over the
+    tunneled TPU); on CPU it must return a sane positive per-call time."""
+    import jax.numpy as jnp
+
+    from pointnet_like_pose_estimation_tpu.utils import sustained_time
+
+    import jax
+
+    f = jax.jit(lambda x: (x @ x).sum())
+    x = jnp.ones((64, 64))
+    t = sustained_time(f, x, min_seconds=0.05, max_iters=1 << 16)
+    assert 0 < t < 0.05
