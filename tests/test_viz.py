@@ -38,3 +38,42 @@ def test_plot_history(tmp_path):
     ]
     viz.plot_history(history, path=str(tmp_path / "hist.png"))
     assert (tmp_path / "hist.png").stat().st_size > 0
+
+
+def test_rgbd_stream_headless_fallback(tmp_path):
+    """The interactive RGBD viewer degrades to a PNG frame sequence on a
+    headless host (viz_interactive parity with realsense.py:112-122)."""
+    import numpy as np
+
+    from pointnet_like_pose_estimation_tpu.utils.viz_interactive import RGBDStream
+
+    stream = RGBDStream(out_dir=str(tmp_path), max_frames=2, depth_clip_m=1.0)
+    assert not stream.interactive  # no DISPLAY in the test env
+    color = np.full((8, 12, 3), 200, np.uint8)
+    depth = np.full((8, 12), 500, np.uint16)  # 0.5 m
+    depth[:4] = 5000  # 5 m -> background, greyed out
+    assert stream.show(color, depth) is True      # frame 1 < max_frames
+    assert stream.show(color, depth) is False     # frame 2 hits max_frames
+    stream.close()
+    frames = sorted(tmp_path.iterdir())
+    assert [f.name for f in frames] == ["frame_00001.png", "frame_00002.png"]
+    from PIL import Image
+
+    arr = np.asarray(Image.open(frames[0]))
+    assert arr.shape == (8, 24, 3)                # side-by-side composition
+    assert (arr[:4, :12] == 153).all()            # background greyed
+
+
+def test_show_cloud_and_clusters_headless(tmp_path):
+    import numpy as np
+
+    from pointnet_like_pose_estimation_tpu.utils.viz_interactive import (
+        show_cloud,
+        show_clusters,
+    )
+
+    pts = np.random.default_rng(0).standard_normal((50, 3)).astype(np.float32)
+    p1 = show_cloud(pts, title="t", path=str(tmp_path / "c.png"))
+    assert p1 and (tmp_path / "c.png").exists()
+    p2 = show_clusters([pts, pts + 2.0], path=str(tmp_path / "cl.png"))
+    assert p2 and (tmp_path / "cl.png").exists()
