@@ -272,14 +272,21 @@ def main():
         wire = traffic["total_bytes"] * 2 * (d - 1) / d
         t_coll = wire / V5E_ICI_BYTES_PER_S
         t_chip = None
-        try:
-            with open("log/throughput_diagnosis.json") as f:
-                diag = json.load(f)
-            key = f"b{per_device_bs}"
-            if key in diag:
-                t_chip = diag[key]["train_step_ms"] / 1e3
+        try:  # prefer the sustained-protocol bench artifact (round 4)
+            with open("benchmarks_extended.json") as f:
+                ext = json.load(f)
+            t_chip = ext.get(f"pn2_ssg_train_b{per_device_bs}_step_s")
         except OSError:
             pass
+        if t_chip is None:
+            try:
+                with open("log/throughput_diagnosis.json") as f:
+                    diag = json.load(f)
+                key = f"b{per_device_bs}"
+                if key in diag:
+                    t_chip = diag[key]["train_step_ms"] / 1e3
+            except OSError:
+                pass
         rows[d] = {
             "global_batch": g,
             "t_single_device_s": t_single,

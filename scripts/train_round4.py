@@ -59,14 +59,14 @@ JOBS = [
     ("pose_feat_trans", "r4_pose_feat_trans", [60, 100, 100, 100], {}),
     ("pose_mean", "r4_pose_mean", [60, 100, 100, 100], {}),
     # SSG family off best@last, then to the full recipe
-    ("sign_ssg", "r3_sign_ssg", [60, 60, 60, 60], {}),
+    ("sign_ssg", "r3_sign_ssg", [60, 80, 100, 100], {}),
     ("translation_ssg", "r3_translation_ssg", [60, 100, 100, 100], {}),
     ("rotation_ssg", "r3_rotation_ssg", [60, 100, 100, 100], {}),
     ("pointnet2_cls_ssg", "r3_pointnet2_cls_ssg", [70, 100, 100, 100], {}),
     # MSG family: the expensive tail, largest-value first
     ("rotation_msg", "r3_rotation_msg", [40, 60, 80, 100], {"epoch_chunk": 125}),
     ("translation_msg", "r3_translation_msg", [40, 60, 80, 100], {"epoch_chunk": 125}),
-    ("sign_msg", "r3_sign_msg", [30, 45, 60, 60], {"epoch_chunk": 125}),
+    ("sign_msg", "r3_sign_msg", [30, 45, 60, 80], {"epoch_chunk": 125}),
     ("pointnet2_cls_msg", "r3_pointnet2_cls_msg", [25, 40, 40, 40], {"epoch_chunk": 125}),
 ]
 
