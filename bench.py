@@ -39,7 +39,7 @@ V5E_PEAK_FLOPS = {"bf16": 197e12, "f32": 99e12}
 V5E_HBM_BYTES_PER_S = 819e9
 
 
-def _time(fn, *args, iters=None):
+def _time(fn, *args):
     """Sustained seconds/call (utils/profiling.sustained_time): over the
     tunneled TPU, block_until_ready can return early for short dispatch
     queues, so short timed loops measure dispatch, not compute (round-4
@@ -60,7 +60,7 @@ def _fake_batch(rng, bs, n=1024):
     }
 
 
-def _train_step_time(model_name, bs, rng, iters=30, dtype="float32"):
+def _train_step_time(model_name, bs, rng, dtype="float32"):
     """(seconds/step, flops/step, bytes/step) for a jitted full train step."""
     from pointnet_like_pose_estimation_tpu.models import get_model_spec
     from pointnet_like_pose_estimation_tpu.train import TrainConfig, make_train_step
@@ -80,18 +80,10 @@ def _train_step_time(model_name, bs, rng, iters=30, dtype="float32"):
     except Exception:
         flops, bytes_ = 0.0, 0.0
 
-    state, m = step(state, batch)
-    jax.device_get(m["loss"])
-    n = 8
-    while True:  # sustained protocol (see _time); donated state threads through
-        t0 = time.perf_counter()
-        for _ in range(n):
-            state, m = step(state, batch)
-        jax.device_get(m["loss"])
-        dt = time.perf_counter() - t0
-        if dt >= 2.0 or n >= 4096:
-            return dt / n, flops, bytes_
-        n = min(4096, max(n * 2, int(n * 2.0 / max(dt, 1e-9)) + 1))
+    from pointnet_like_pose_estimation_tpu.utils import sustained_step_time
+
+    dt, _ = sustained_step_time(step, state, batch, min_seconds=2.0)
+    return dt, flops, bytes_
 
 
 def measure_hbm_peak(report):
@@ -265,7 +257,7 @@ def extended(report):
     # single-chip batch scaling of the headline step (clouds/s vs batch)
     scaling = {}
     for bs in (32, 64, 128, 256, 512):
-        dt, _, _ = _train_step_time("pointnet2_cls_ssg", bs, rng, iters=10)
+        dt, _, _ = _train_step_time("pointnet2_cls_ssg", bs, rng)
         scaling[bs] = bs / dt
         print(f"  batch {bs}: {bs/dt:,.0f} clouds/s", file=sys.stderr)
     report["pn2_ssg_train_batch_scaling_clouds_per_s"] = scaling

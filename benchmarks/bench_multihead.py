@@ -169,6 +169,15 @@ def main(B=3, N=10240):
         )
         merged.update({k: v for k, v in report.items() if k in keep})
     else:
+        # never write the 1-chip N/A (None) over a previously MEASURED
+        # multi-chip number — drop the null + note instead
+        if (
+            report.get("mpmd_5model_ms") is None
+            and merged.get("mpmd_5model_ms") is not None
+        ):
+            report = dict(report)
+            report.pop("mpmd_5model_ms")
+            report.pop("mpmd_note", None)
         merged.update(report)
     with open(out, "w") as f:
         json.dump(merged, f, indent=2)

@@ -159,8 +159,17 @@ def cmd_sweep(args):
             results = json.load(f)
         # resume is keyed by config name only — refuse to mix budgets:
         # stale results from a different epochs/data setting would silently
-        # survive into this run's results file
+        # survive into this run's results file. Files that PREDATE the
+        # _settings stamp have unknown provenance — refuse those too rather
+        # than falsely certifying them under the current settings.
         prev = results.get("_settings")
+        has_rows = any(not k.startswith("_") for k in results)
+        if prev is None and has_rows:
+            raise SystemExit(
+                f"sweep resume: {out_path} has results but no _settings "
+                f"stamp (pre-round-4 file, unknown budget); delete it or "
+                f"pass a different --log-dir to start a fresh sweep"
+            )
         if prev is not None and prev != settings:
             raise SystemExit(
                 f"sweep resume: {out_path} was produced with settings {prev}, "

@@ -70,7 +70,9 @@ def _gather_bwd(res, g):
 
     TPU scatters with duplicate indices serialize; the segment-sum
     ``dPoints[b] = onehot(idx)[b]^T @ dOut[b]`` is a dense batched GEMM the
-    MXU eats (measured: log/scatter_bwd_probe.json). The one-hot is
+    MXU eats (measured on the FULL train step, log/ab_round4.json — B=24
+    SSG 22.9 -> 16.0 ms; the isolated-scatter probe's compile is itself
+    pathological, scripts/probe_scatter_bwd.py). The one-hot is
     materialized per batch row ([B, S*K, N] f32), so this path is gated to
     shapes where that buffer is modest; ``index_points`` falls back to the
     native scatter elsewhere.
@@ -102,7 +104,7 @@ def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     ``take_along_axis`` so XLA emits a single fused gather. The BACKWARD is
     the train step's one scatter-add (docs/PERF.md); under
     ``PLPE_GATHER_VJP=auto|matmul`` it becomes a one-hot segment-sum GEMM
-    (measured faster on v5e at the SA shapes, log/scatter_bwd_probe.json).
+    (measured faster on v5e on the full train step, log/ab_round4.json).
 
     Args:
       points: ``[B, N, C]``.

@@ -4,6 +4,7 @@ from pointnet_like_pose_estimation_tpu.utils.profiling import (
     StepTimer,
     enable_compile_cache,
     respect_platform_env,
+    sustained_step_time,
     sustained_time,
     trace,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "StepTimer",
     "enable_compile_cache",
     "respect_platform_env",
+    "sustained_step_time",
     "sustained_time",
     "trace",
 ]

@@ -28,28 +28,24 @@ _COLLECTIVES = (
 
 # e.g. "%all-reduce.1 = f32[1024,128]{1,0} all-reduce(%x), replica_groups..."
 #      "... = (f32[8]{0}, f32[4]{0}) all-reduce(...)"
+#      "... = ((f32[8]{0}, f32[4]{0}), (f32[8]{0}, f32[4]{0})) all-reduce-start(...)"
 # Real-TPU compiles emit ASYNC pairs ("all-reduce-start" / "all-reduce-done");
 # match the "-start" half (it carries the shapes) and skip "-done" so each
-# collective counts exactly once regardless of sync/async lowering.
+# collective counts exactly once regardless of sync/async lowering. The
+# shapes group allows ONE level of nesting — XLA's AllReduceCombiner merges
+# gradient all-reduces into variadic async ops whose start shape is a
+# tuple-of-tuples ((operands...), (results...)).
 _OP_RE = re.compile(
-    r"=\s*(?P<shapes>\([^)]*\)|\S+)\s+(?P<op>"
+    r"=\s*(?P<shapes>\((?:[^()]|\([^()]*\))*\)|\S+)\s+(?P<op>"
     + "|".join(_COLLECTIVES)
     + r")(?P<async>-start)?\("
 )
 _SHAPE_RE = re.compile(r"(?P<dtype>\w+)\[(?P<dims>[\d,]*)\]")
 
 
-def _shape_bytes(shape: str, *, result_only: bool = False) -> int:
-    """Bytes of all arrays in a shape group.
-
-    ``result_only``: async "-start" ops return a TUPLE of
-    (operand, result[, context]) shapes; summing would double-count, so
-    take the single largest element instead (== the collective result:
-    equal to the operand for all-reduce, the gathered output — the
-    largest — for all-gather; context scalars are negligible).
-    """
+def _array_bytes(text: str) -> list[int]:
     sizes = []
-    for m in _SHAPE_RE.finditer(shape):
+    for m in _SHAPE_RE.finditer(text):
         dt = _DTYPE_BYTES.get(m.group("dtype"))
         if dt is None:
             continue
@@ -59,9 +55,51 @@ def _shape_bytes(shape: str, *, result_only: bool = False) -> int:
             if d:
                 n *= int(d)
         sizes.append(n * dt)
+    return sizes
+
+
+def _top_level_groups(shape: str) -> list[str]:
+    """Split '((a, b), (c, d), e)' into ['(a, b)', '(c, d)', 'e']."""
+    inner = shape.strip()
+    if inner.startswith("(") and inner.endswith(")"):
+        inner = inner[1:-1]
+    groups, depth, cur = [], 0, []
+    for ch in inner:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            groups.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        groups.append("".join(cur))
+    return groups
+
+
+def _shape_bytes(shape: str, *, op: str = "", is_async: bool = False) -> int:
+    """RESULT bytes of one collective's shape group — what each participant
+    receives per step, for every lowering XLA emits:
+
+    - sync, single or variadic: the def shape IS the result (sum arrays).
+    - async "-start": the shape is a tuple of (operands, results[, context]).
+      Variadic starts nest: ((op...), (res...)) — take the SECOND top-level
+      group. Flat 2-tuples (in, out): the result is the larger element for
+      all-gather, equal for all-reduce, and the SMALLER one for
+      reduce-scatter (its result is the scattered shard).
+    """
+    if not is_async:
+        return sum(_array_bytes(shape))
+    groups = _top_level_groups(shape)
+    nested = [g for g in groups if g.strip().startswith("(")]
+    if len(nested) >= 2:  # variadic: ((operands), (results), context...)
+        return sum(_array_bytes(nested[1]))
+    sizes = _array_bytes(shape)
     if not sizes:
         return 0
-    return max(sizes) if result_only else sum(sizes)
+    return min(sizes) if op == "reduce-scatter" else max(sizes)
 
 
 def collective_traffic(hlo_text: str) -> dict:
@@ -79,7 +117,7 @@ def collective_traffic(hlo_text: str) -> dict:
             continue
         op = m.group("op")
         b = _shape_bytes(
-            m.group("shapes"), result_only=m.group("async") is not None
+            m.group("shapes"), op=op, is_async=m.group("async") is not None
         )
         rec = by_op.setdefault(op, {"count": 0, "bytes": 0})
         rec["count"] += 1

@@ -84,6 +84,30 @@ def sustained_time(fn, *args, min_seconds: float = 2.0, max_iters: int = 4096):
         iters = min(max_iters, max(iters * 2, int(iters * min_seconds / max(t, 1e-9)) + 1))
 
 
+def sustained_step_time(step, state, batch, *, min_seconds: float = 2.0,
+                        max_iters: int = 4096):
+    """``sustained_time`` for DONATED train steps: ``step(state, batch) ->
+    (state, metrics)`` donates its state argument, so the state must thread
+    through the timed loop instead of repeating fixed args. Same protocol:
+    grow the iteration count until the span covers ``min_seconds`` of wall
+    clock, fetch the (scalar) loss to the host as the barrier.
+
+    Returns ``(seconds_per_step, final_state)``.
+    """
+    state, m = step(state, batch)
+    jax.device_get(m["loss"])
+    iters = 8
+    while True:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, batch)
+        jax.device_get(m["loss"])
+        t = time.perf_counter() - t0
+        if t >= min_seconds or iters >= max_iters:
+            return t / iters, state
+        iters = min(max_iters, max(iters * 2, int(iters * min_seconds / max(t, 1e-9)) + 1))
+
+
 class StepTimer:
     """Wall-clock timing of jitted steps with proper device sync.
 

@@ -130,9 +130,16 @@ def show_cloud(points: np.ndarray, *, title: str | None = None,
     """
     points = np.asarray(points)
     if _gui_matplotlib_available():  # pragma: no cover - requires a display
+        # build the figure on the CURRENT (GUI) backend — the viz.* helpers
+        # force Agg internally, which would make plt.show() a silent no-op
         import matplotlib.pyplot as plt
 
-        viz.plot_cloud(points, title=title)
+        fig = plt.figure(figsize=(6, 6))
+        ax = fig.add_subplot(projection="3d")
+        color = np.clip(points[:, 3:6], 0, 1) if points.shape[-1] >= 6 else None
+        ax.scatter(points[:, 0], points[:, 1], points[:, 2], s=1.5, c=color)
+        if title:
+            ax.set_title(title)
         plt.show()
         return None
     path = path or "log/cloud_views.png"
@@ -166,8 +173,16 @@ def show_clusters(clusters, *, path: str | None = None):
     ``viz.plot_clusters``."""
     if _gui_matplotlib_available():  # pragma: no cover - requires a display
         import matplotlib.pyplot as plt
+        from matplotlib import colormaps
 
-        viz.plot_clusters(clusters)
+        fig = plt.figure(figsize=(6, 6))
+        ax = fig.add_subplot(projection="3d")
+        cmap = colormaps["tab10"]
+        for i, cl in enumerate(clusters):
+            cl = np.asarray(cl)
+            ax.scatter(cl[:, 0], cl[:, 1], cl[:, 2], s=1.5,
+                       color=cmap(i % 10), label=f"cluster {i}")
+        ax.legend(loc="upper right", fontsize=7)
         plt.show()
         return None
     path = path or "log/cluster_views.png"

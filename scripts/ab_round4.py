@@ -51,18 +51,12 @@ def sustained_step_time(model, bs, *, min_seconds=2.0, dtype="float32"):
     spec, _, state = build_state(cfg)
     step = make_train_step(spec, cfg)
     batch = _batch(rng, bs)
-    state, m = step(state, batch)  # compile + warmup
-    jax.device_get(m["loss"])
-    iters = 8
-    while True:
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, m = step(state, batch)
-        jax.device_get(m["loss"])  # host fetch: the only reliable barrier
-        t = time.perf_counter() - t0
-        if t >= min_seconds or iters >= 4096:
-            return t / iters
-        iters = min(4096, max(iters * 2, int(iters * min_seconds / max(t, 1e-9)) + 1))
+    from pointnet_like_pose_estimation_tpu.utils import (
+        sustained_step_time as _sst,
+    )
+
+    t, _ = _sst(step, state, batch, min_seconds=min_seconds)
+    return t
 
 
 def main():

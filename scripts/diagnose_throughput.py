@@ -46,7 +46,7 @@ from pointnet_like_pose_estimation_tpu.train import (  # noqa: E402
 from pointnet_like_pose_estimation_tpu.train.loop import build_state  # noqa: E402
 
 
-def timeit(fn, *args, iters=None):
+def timeit(fn, *args):
     """Sustained timing — block-based short loops under-measure over the
     tunneled TPU (round-4 finding, utils/profiling.sustained_time)."""
     from pointnet_like_pose_estimation_tpu.utils import sustained_time
@@ -118,19 +118,9 @@ def main():
 
         step = make_train_step(spec, cfg)
         batch = fake_batch(rng, bs)
-        state, m = step(state, batch)
-        jax.device_get(m["loss"])
-        iters = 8
-        while True:  # sustained protocol; donated state threads through
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                state, m = step(state, batch)
-            jax.device_get(m["loss"])
-            t = time.perf_counter() - t0
-            if t >= 2.0 or iters >= 4096:
-                t /= iters
-                break
-            iters = min(4096, max(iters * 2, int(iters * 2.0 / max(t, 1e-9)) + 1))
+        from pointnet_like_pose_estimation_tpu.utils import sustained_step_time
+
+        t, state = sustained_step_time(step, state, batch, min_seconds=2.0)
         row["train_step_ms"] = t * 1e3
         row["train_clouds_per_s"] = bs / t
 

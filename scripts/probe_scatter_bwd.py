@@ -24,14 +24,13 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
-def timeit(fn, *args, iters=20):
-    jax.block_until_ready(fn(*args))
-    jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def timeit(fn, *args):
+    """Sustained timing (utils/profiling.sustained_time) — the round-3
+    20-iteration block_until_ready protocol under-measures over the
+    tunneled TPU (docs/PERF.md measurement-protocol note)."""
+    from pointnet_like_pose_estimation_tpu.utils import sustained_time
+
+    return sustained_time(fn, *args, min_seconds=2.0)
 
 
 def main():

@@ -423,3 +423,31 @@ def test_collective_traffic_async_start_forms():
     assert t["by_op"]["all-reduce"]["bytes"] == ar_bytes
     assert t["by_op"]["all-gather"]["bytes"] == ag_bytes
     assert t["total_bytes"] == ar_bytes + ag_bytes
+
+
+def test_collective_traffic_variadic_and_reduce_scatter_forms():
+    """XLA's AllReduceCombiner merges gradient all-reduces into VARIADIC
+    async ops whose start shape is a tuple-of-tuples; reduce-scatter must
+    report RESULT (per-shard) bytes in both sync and async lowerings."""
+    from pointnet_like_pose_estimation_tpu.utils.hlo import collective_traffic
+
+    hlo = "\n".join(
+        [
+            # variadic combined all-reduce: ((operands), (results)) -> sum
+            # the RESULTS group only
+            "%vars = ((f32[1024]{0}, f32[2048]{0}), (f32[1024]{0},"
+            " f32[2048]{0})) all-reduce-start(f32[1024]{0} %a,"
+            " f32[2048]{0} %b), replica_groups={}",
+            "%vard = (f32[1024]{0}, f32[2048]{0}) all-reduce-done(%vars)",
+            # sync reduce-scatter: def shape IS the per-shard result
+            "%rs = f32[128]{0} reduce-scatter(f32[1024]{0} %c), dimensions={0}",
+            # async reduce-scatter: (operand, result) -> the SMALLER element
+            "%rss = (f32[1024]{0}, f32[128]{0})"
+            " reduce-scatter-start(f32[1024]{0} %d), dimensions={0}",
+        ]
+    )
+    t = collective_traffic(hlo)
+    assert t["by_op"]["all-reduce"]["count"] == 1
+    assert t["by_op"]["all-reduce"]["bytes"] == (1024 + 2048) * 4
+    assert t["by_op"]["reduce-scatter"]["count"] == 2
+    assert t["by_op"]["reduce-scatter"]["bytes"] == 128 * 4 * 2
