@@ -62,15 +62,15 @@ JOBS = [
     ("sign_ssg", "r3_sign_ssg", [60, 80, 100, 100], {}),
     ("translation_ssg", "r3_translation_ssg", [60, 75, 100, 100], {}),
     ("rotation_ssg", "r3_rotation_ssg", [60, 75, 100, 100], {}),
-    ("pointnet2_cls_ssg", "r3_pointnet2_cls_ssg", [70, 85, 100, 100], {}),
+    ("pointnet2_cls_ssg", "r3_pointnet2_cls_ssg", [40, 70, 100, 100], {}),
     # MSG family ahead of the deep SSG extensions: rotation_msg is the model
     # that must challenge the vanilla head (VERDICT r3 #1), so its epochs
     # outrank SSG 60->100 polish under a deadline. pn2_cls_msg is already at
     # 99.56% — deferred to the last pass.
-    ("rotation_msg", "r3_rotation_msg", [40, 60, 80, 100], {"epoch_chunk": 125}),
+    ("rotation_msg", "r3_rotation_msg", [45, 60, 80, 100], {"epoch_chunk": 125}),
     ("translation_msg", "r3_translation_msg", [40, 60, 80, 100], {"epoch_chunk": 125}),
     ("sign_msg", "r3_sign_msg", [30, 45, 60, 80], {"epoch_chunk": 125}),
-    ("pointnet2_cls_msg", "r3_pointnet2_cls_msg", [15, 25, 40, 40], {"epoch_chunk": 125}),
+    ("pointnet2_cls_msg", "r3_pointnet2_cls_msg", [20, 25, 40, 40], {"epoch_chunk": 125}),
 ]
 
 results = {}
