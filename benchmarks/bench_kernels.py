@@ -146,6 +146,29 @@ def main():
     finally:
         flags.set_impls(fps="auto", grouping="auto")
 
+    # --- auto-dispatch verification (VERDICT r3 #3 'done' criterion):
+    # at every benched shape, `auto` must be within 10% of the better
+    # impl. auto == pallas everywhere except the two exact-match
+    # _BALLQUERY_XLA_WINS shapes; time auto END-TO-END at those plus one
+    # pallas-routed control shape and record the margin. ---
+    auto_rows = {}
+    for B, N, P, S, K, r in [
+        (64, 512, 3, 128, 64, 0.4),     # exception: routes to XLA
+        (24, 1024, 10, 512, 128, 0.4),  # exception: routes to XLA
+        (24, 1024, 3, 512, 32, 0.2),    # control: routes to Pallas
+    ]:
+        p = jax.random.normal(key, (B, N, P))
+        c = p[:, :S, :]
+        t_auto = _time(jax.jit(lambda p, c: query_ball_point(r, K, p, c)), p, c)
+        base = report[f"ballquery_b{B}_n{N}_p{P}_s{S}_k{K}"]
+        best = min(base["xla_ms"], base["pallas_ms"])
+        auto_rows[f"b{B}_n{N}_s{S}_k{K}"] = {
+            "auto_ms": round(t_auto * 1e3, 3),
+            "best_forced_ms": best,
+            "auto_vs_best": round(t_auto * 1e3 / best, 2),
+        }
+    report["auto_dispatch_check"] = auto_rows
+
     print(json.dumps(report, indent=2))
     with open(os.path.join(os.path.dirname(__file__), "bench_kernels.json"), "w") as f:
         json.dump(report, f, indent=2)

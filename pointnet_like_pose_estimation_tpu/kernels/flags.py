@@ -13,10 +13,12 @@ shape-aware dispatch): under the corrected SUSTAINED timing protocol
 small batch" microbench rows were a block_until_ready-early-return artifact
 over the tunneled TPU) the full train step was A/B'd at B=8/24/256 SSG and
 B=24 MSG with forced-Pallas vs forced-XLA vs mixed shape-rules
-(log/ab_round4.json). Forced Pallas won or tied every case (SSG b24:
-16.0 ms vs 19.0 XLA vs 26.1 mixed; b8: 3.7 vs 5.8; MSG b24: 81.3 vs 80.4 —
-within noise), so ``auto`` = Pallas on TPU at EVERY shape, and the shape
-arguments are accepted (kept for future measured exceptions) but unused.
+(log/ab_round4.json). Forced Pallas won or tied every full-step case (SSG
+b24: 16.0 ms vs 19.0 XLA vs 26.1 mixed; b8: 3.7 vs 5.8; MSG b24: 81.3 vs
+80.4 — within noise), so ``auto`` = Pallas on TPU by default. The ONLY
+exceptions are two exact isolated ball-query shapes where XLA measured
+>10% faster under sustained timing (``_BALLQUERY_XLA_WINS`` below) —
+serving-path only; no training shape matches them.
 """
 
 from __future__ import annotations
@@ -29,6 +31,15 @@ _GROUPING = os.environ.get("PLPE_GROUPING", "auto")
 _FPS = os.environ.get("PLPE_FPS", "auto")
 
 _TPU_BACKENDS = ("tpu", "axon")
+
+# The two isolated ball-query shapes where XLA measured faster under
+# sustained timing — (batch, num_points, num_centroids, num_neighbors),
+# bench_kernels.json: b64_n512_s128_k64 XLA 0.58 vs Pallas 1.57 ms (0.37x),
+# b24_n1024_s512_k128 3.05 vs 5.86 ms (0.52x). EXACT matches only: the
+# training shapes don't hit these rows, and MSG layers use the fused
+# multi-scale kernel (measured 1.18x better than per-scale XLA), so the
+# exceptions affect standalone serving queries alone.
+_BALLQUERY_XLA_WINS = {(64, 512, 128, 64), (24, 1024, 512, 128)}
 
 
 def _resolve(value: str) -> str:
@@ -43,10 +54,18 @@ def grouping_impl(
     num_centroids: int | None = None,
     num_neighbors: int | None = None,
 ) -> str:
-    """Grouping (ball query) impl. Shape args reserved for measured
-    per-shape exceptions; none exist under sustained timing (module
-    docstring)."""
-    return _resolve(_GROUPING)
+    """Grouping (ball query) impl. Under ``auto`` on TPU, the two
+    exact shapes where XLA measured >10% faster (sustained,
+    bench_kernels.json) route to XLA; everything else is Pallas."""
+    resolved = _resolve(_GROUPING)
+    if (
+        _GROUPING == "auto"
+        and resolved == "pallas"
+        and (batch, num_points, num_centroids, num_neighbors)
+        in _BALLQUERY_XLA_WINS
+    ):
+        return "xla"
+    return resolved
 
 
 def fps_impl(batch: int | None = None, num_points: int | None = None) -> str:
