@@ -16,9 +16,13 @@ B=24 MSG with forced-Pallas vs forced-XLA vs mixed shape-rules
 (log/ab_round4.json). Forced Pallas won or tied every full-step case (SSG
 b24: 16.0 ms vs 19.0 XLA vs 26.1 mixed; b8: 3.7 vs 5.8; MSG b24: 81.3 vs
 80.4 — within noise), so ``auto`` = Pallas on TPU by default. The ONLY
-exceptions are two exact isolated ball-query shapes where XLA measured
->10% faster under sustained timing (``_BALLQUERY_XLA_WINS`` below) —
-serving-path only; no training shape matches them.
+exceptions are two exact isolated SINGLE-scale ball-query shapes where
+XLA measured >10% faster under sustained timing (``_BALLQUERY_XLA_WINS``
+below). MSG's fused multi-scale dispatch bypasses the table
+(multi_scale=True): its (B, N, S, maxK) shape can collide with an
+exception row, but the exception was measured for the isolated
+single-scale query only. With the bypass, no training dispatch hits the
+table (SSG trains at K=32/64; the rows are K=64@S=128 and K=128@S=512).
 """
 
 from __future__ import annotations
@@ -35,10 +39,11 @@ _TPU_BACKENDS = ("tpu", "axon")
 # The two isolated ball-query shapes where XLA measured faster under
 # sustained timing — (batch, num_points, num_centroids, num_neighbors),
 # bench_kernels.json: b64_n512_s128_k64 XLA 0.58 vs Pallas 1.57 ms (0.37x),
-# b24_n1024_s512_k128 3.05 vs 5.86 ms (0.52x). EXACT matches only: the
-# training shapes don't hit these rows, and MSG layers use the fused
-# multi-scale kernel (measured 1.18x better than per-scale XLA), so the
-# exceptions affect standalone serving queries alone.
+# b24_n1024_s512_k128 3.05 vs 5.86 ms (0.52x). EXACT matches only, and
+# only for SINGLE-scale queries: MSG's fused multi-scale dispatch passes
+# multi_scale=True and bypasses this table (the rows were measured on the
+# isolated single-scale query_ball_point; the (24,1024,512,128) row
+# collides with the standard MSG SA1 training shape).
 _BALLQUERY_XLA_WINS = {(64, 512, 128, 64), (24, 1024, 512, 128)}
 
 
@@ -53,14 +58,25 @@ def grouping_impl(
     num_points: int | None = None,
     num_centroids: int | None = None,
     num_neighbors: int | None = None,
+    multi_scale: bool = False,
 ) -> str:
     """Grouping (ball query) impl. Under ``auto`` on TPU, the two
     exact shapes where XLA measured >10% faster (sustained,
-    bench_kernels.json) route to XLA; everything else is Pallas."""
+    bench_kernels.json) route to XLA; everything else is Pallas.
+
+    ``multi_scale=True`` (SetAbstractionMSG's fused kernel, dispatched on
+    the LARGEST K) bypasses the exception table entirely: the
+    ``_BALLQUERY_XLA_WINS`` rows were measured on the isolated
+    single-scale ``query_ball_point`` only, and the fused multi-scale
+    Pallas kernel measured 1.18x better than per-scale XLA — an MSG
+    dispatch shape colliding with an exception row (e.g. B=24 N=1024
+    S=512 maxK=128, the standard MSG SA1 training shape) must still take
+    the fused kernel."""
     resolved = _resolve(_GROUPING)
     if (
         _GROUPING == "auto"
         and resolved == "pallas"
+        and not multi_scale
         and (batch, num_points, num_centroids, num_neighbors)
         in _BALLQUERY_XLA_WINS
     ):

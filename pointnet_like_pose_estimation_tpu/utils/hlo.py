@@ -99,6 +99,11 @@ def _shape_bytes(shape: str, *, op: str = "", is_async: bool = False) -> int:
     sizes = _array_bytes(shape)
     if not sizes:
         return 0
+    # Flat start tuples may carry trailing scalar-ish context elements
+    # (e.g. u32[] sync flags); restrict the operand/result selection to the
+    # first two entries so min() can't pick a 4-byte context element as the
+    # reduce-scatter shard.
+    sizes = sizes[:2]
     return min(sizes) if op == "reduce-scatter" else max(sizes)
 
 

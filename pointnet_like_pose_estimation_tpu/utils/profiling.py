@@ -11,6 +11,7 @@ TPU are minutes; cached reloads are seconds).
 from __future__ import annotations
 
 import contextlib
+import warnings
 import os
 import time
 
@@ -44,7 +45,7 @@ def trace(log_dir: str = "/tmp/jax_trace"):
         jax.profiler.stop_trace()
 
 
-def sustained_time(fn, *args, min_seconds: float = 2.0, max_iters: int = 4096):
+def sustained_time(fn, *args, min_seconds: float = 2.0, max_iters: int = 1 << 20):
     """Seconds per call under SUSTAINED load, robust to async-dispatch
     artifacts.
 
@@ -79,13 +80,18 @@ def sustained_time(fn, *args, min_seconds: float = 2.0, max_iters: int = 4096):
         _sync(out)
         t = time.perf_counter() - t0
         if t >= min_seconds or iters >= max_iters:
+            if t < min_seconds:
+                warnings.warn(
+                    f"sustained_time hit max_iters={max_iters} with only "
+                    f"{t:.3f}s of span (< min_seconds={min_seconds}); the "
+                    "result may still be dispatch-bound", stacklevel=2)
             return t / iters
         # scale straight to the target span (at least doubling)
         iters = min(max_iters, max(iters * 2, int(iters * min_seconds / max(t, 1e-9)) + 1))
 
 
 def sustained_step_time(step, state, batch, *, min_seconds: float = 2.0,
-                        max_iters: int = 4096):
+                        max_iters: int = 1 << 20):
     """``sustained_time`` for DONATED train steps: ``step(state, batch) ->
     (state, metrics)`` donates its state argument, so the state must thread
     through the timed loop instead of repeating fixed args. Same protocol:
@@ -104,6 +110,11 @@ def sustained_step_time(step, state, batch, *, min_seconds: float = 2.0,
         jax.device_get(m["loss"])
         t = time.perf_counter() - t0
         if t >= min_seconds or iters >= max_iters:
+            if t < min_seconds:
+                warnings.warn(
+                    f"sustained_step_time hit max_iters={max_iters} with "
+                    f"only {t:.3f}s of span (< min_seconds={min_seconds})",
+                    stacklevel=2)
             return t / iters, state
         iters = min(max_iters, max(iters * 2, int(iters * min_seconds / max(t, 1e-9)) + 1))
 

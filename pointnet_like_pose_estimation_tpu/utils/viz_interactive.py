@@ -85,10 +85,10 @@ class RGBDStream:
         if self.depth_clip_m is not None:
             mask = (depth_m <= 0) | (depth_m > self.depth_clip_m)
             shown[mask] = 153
-        # colorize depth without cv2: jet-map through matplotlib's LUT
-        import matplotlib
-
-        matplotlib.use("Agg")
+        # colorize depth without cv2: jet-map through matplotlib's LUT.
+        # NOTE: the LUT lookup needs no canvas, so do NOT force a backend
+        # here — matplotlib.use("Agg") would silently switch the whole
+        # process to headless and break a later interactive show_cloud()
         from matplotlib import colormaps
 
         dmax = max(float(depth_m.max()), 1e-6)

