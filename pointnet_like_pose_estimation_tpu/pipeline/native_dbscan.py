@@ -14,12 +14,28 @@ import subprocess
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native",
+# source ships INSIDE the package (_native/pcnative.cpp) so a pip install
+# carries it; the compiled .so lands next to it when that dir is writable
+# (repo checkout), else in a per-user cache (read-only site-packages)
+_SRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "_native", "pcnative.cpp",
 )
-_SRC = os.path.join(_NATIVE_DIR, "pcnative.cpp")
-_SO = os.path.join(_NATIVE_DIR, "libpcnative.so")
+
+
+def _so_path() -> str:
+    d = os.path.dirname(_SRC)
+    if os.access(d, os.W_OK):
+        return os.path.join(d, "libpcnative.so")
+    cache = os.environ.get(
+        "PLPE_NATIVE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "plpe"),
+    )
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, "libpcnative.so")
+
+
+_SO = _so_path()
 
 _lib = None
 _tried = False

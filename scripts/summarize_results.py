@@ -66,6 +66,49 @@ def fmt(model, kind, rec):
     return f"| `{model}` | {be.get('mean_err', float('nan'))*100:.2f} cm abs width error | {extra} |"
 
 
+def _bf16_section():
+    """bf16 end-to-end validation rows (VERDICT r4 #2): the same reference
+    recipe at dtype=bfloat16, shown against the committed f32 metric so the
+    bf16 perf headline carries accuracy evidence."""
+    path = "log/round5_results.json"
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        r5 = json.load(f)
+    rows = [(k, v) for k, v in r5.items()
+            if k.endswith("_bf16") and "error" not in v and v.get("best_eval")]
+    if not rows:
+        return []
+    lines = [
+        "### bf16 end-to-end validation (round 5)",
+        "",
+        "Reference recipe re-run with compute dtype bfloat16 (params and",
+        "optimizer state stay f32); f32 row from the main table alongside.",
+        "",
+        "| Model (bf16) | Test metric | f32 reference row |",
+        "|---|---|---|",
+    ]
+    for key, rec in rows:
+        model = rec.get("model", key[:-5])
+        be = rec["best_eval"]
+        f32 = r5.get(model) or {}
+        f32be = f32.get("best_eval") or {}
+        if "cls" in model:
+            m = f"{be.get('instance_acc', float('nan'))*100:.2f}% instance"
+            fm = f"{f32be.get('instance_acc', float('nan'))*100:.2f}%"
+        elif model.startswith("sign"):
+            m = f"{be.get('instance_acc', float('nan'))*100:.2f}% sign acc"
+            fm = f"{f32be.get('instance_acc', float('nan'))*100:.2f}%"
+        else:
+            unit = "deg" if model.startswith("rotation") or model.startswith("pose") else "cm"
+            m = f"{be.get('mean_err', float('nan')):.2f} {unit}/axis"
+            fm = f"{f32be.get('mean_err', float('nan')):.2f} {unit}/axis"
+        ep = rec.get("epochs_done", "?")
+        lines.append(f"| `{model}` | {m} ({ep} ep, best @ {be.get('best_epoch','?')}) | {fm} |")
+    lines.append("")
+    return lines
+
+
 def _sweep_section():
     path = "log/sweep_r3/sweep_results.json"
     if not os.path.exists(path):
@@ -130,6 +173,7 @@ def main():
         "log/round2_results.json",
         "log/round3_results.json",
         "log/round4_results.json",
+        "log/round5_results.json",
     ):
         if os.path.exists(path):
             with open(path) as f:
@@ -144,12 +188,12 @@ def main():
     lines = [
         MARKER,
         "",
-        "## Measured results (rounds 2-4): reference recipe on the full-scale set",
+        "## Measured results (rounds 2-5): reference recipe on the full-scale set",
         "",
         "7 classes x 8,000 clouds (6,001/1,999 split per class, N=1024 — the",
         "reference's exact dataset scale, ModelDataLoader.py:56-58), batch 24,",
         "Adam lr 1e-3 (cls) / 1e-4 (pose), wd 1e-4, StepLR(20, 0.7) — trained",
-        "end-to-end on ONE v5e chip via scripts/train_round{2,3,4}.py; metrics",
+        "end-to-end on ONE v5e chip via scripts/train_round{2..5}.py; metrics",
         "from the best checkpoint on the held-out test split (13,993 clouds).",
         "",
         "| Model | Test metric | Notes |",
@@ -169,9 +213,10 @@ def main():
         "consumes the same spliced (3+7)-channel input in every config, so",
         "the classify branch sees its own one-hot label (reference quirk,",
         "reproduced faithfully). Raw per-class numbers:",
-        "log/round{2,3,4}_results.json.",
+        "log/round{2..5}_results.json.",
         "",
     ]
+    lines += _bf16_section()
     lines += _sweep_section()
     lines += _label_experiment_section()
     with open("BASELINE.md") as f:
