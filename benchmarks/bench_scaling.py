@@ -140,9 +140,11 @@ def points_axis_traffic(d: int, B: int = 2, N: int = 4096):
       - static HLO bytes from the compiled program (collectives inside the
         FPS ``while`` body count ONCE — an undercount);
       - the loop-aware analytic model from sharded_ops.py's design: per FPS
-        iteration one [B,1,C] centroid psum + two [d,B] (max, argmax)
-        all-gathers, then per SA layer one [B,S,C] centroid psum, one
-        [d,B,S,K] candidate all-gather, one [B,S,K,C+D] neighborhood psum.
+        iteration ONE packed [d,B,2+C] (max, argmax, coords) all-gather
+        (round 5 fused the former per-iteration centroid psum into the
+        candidate exchange; one [B,C] psum remains for the start index),
+        then per SA layer one [B,S,C] centroid psum, one [d,B,S,K]
+        candidate all-gather, one [B,S,K,C+D] neighborhood psum.
         Payloads are O(S*K), independent of N — the point of the design.
     """
     from pointnet_like_pose_estimation_tpu.parallel import (
@@ -172,12 +174,15 @@ def points_axis_traffic(d: int, B: int = 2, N: int = 4096):
     # pn2_ssg dispatched SA layers: (S, K, C_geom, D_feat)
     layers = [(512, 32, 3, 0), (128, 64, 3, 128)]
     psum_b = gather_b = 0
+    fps_collectives = sa_collectives = 0
     for S, K, C, Df in layers:
-        psum_b += S * B * 1 * C * 4            # FPS centroid psum, per iter
-        gather_b += S * 2 * d * B * 4          # FPS (max, argmax) all-gathers
+        psum_b += B * C * 4                    # FPS start-centroid psum (once)
+        gather_b += S * (2 + C) * d * B * 4    # packed per-iter all-gather
+        fps_collectives += S + 1
         psum_b += B * S * C * 4                # centroid gather psum
         gather_b += d * B * S * K * 4          # candidate-index all-gather
         psum_b += B * S * K * (C + Df) * 4     # neighborhood psum
+        sa_collectives += 3
     wire = psum_b * 2 * (d - 1) / d + gather_b * (d - 1) / d
     t_coll = wire / V5E_ICI_BYTES_PER_S
     ca = compiled.cost_analysis() or {}
@@ -190,6 +195,12 @@ def points_axis_traffic(d: int, B: int = 2, N: int = 4096):
         "analytic_bytes_per_forward": psum_b + gather_b,
         "analytic_ring_wire_bytes": wire,
         "predicted_collective_s_at_ici": t_coll,
+        # latency floor: S+1 packed exchanges per FPS call (round 5 halved
+        # the naive 2S; the remaining S sequential hops are irreducible —
+        # each iteration's argmax depends on the previous winner) + 3
+        # collectives per SA layer, at ~1 us/hop ICI latency
+        "collectives_per_forward": fps_collectives + sa_collectives,
+        "latency_floor_s_at_1us_per_hop": (fps_collectives + sa_collectives) * 1e-6,
         "est_per_chip_compute_s_hbm_bound": t_compute,
         "predicted_real_slice_efficiency": (
             t_compute / (t_compute + t_coll) if t_compute else None
