@@ -77,24 +77,64 @@ inline void neighbors_of(const double* pts, const Grid& grid, double eps,
       }
 }
 
+int n_workers() {
+  unsigned hc = std::thread::hardware_concurrency();
+  int nt = hc ? static_cast<int>(hc) : 1;
+  return nt > 16 ? 16 : nt;
+}
+
+// Runs fn(i) for i in [0, n) across a small thread pool, handing out
+// contiguous chunks through an atomic cursor (same pattern as the CSV pool).
+template <typename Fn>
+void parallel_for(int32_t n, Fn fn) {
+  const int32_t CHUNK = 256;
+  std::atomic<int32_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int32_t lo = next.fetch_add(CHUNK);
+      if (lo >= n) return;
+      int32_t hi = lo + CHUNK < n ? lo + CHUNK : n;
+      for (int32_t i = lo; i < hi; ++i) fn(i);
+    }
+  };
+  int nt = n_workers();
+  std::vector<std::thread> pool;
+  for (int t = 1; t < nt; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+}
+
 }  // namespace
 
 extern "C" {
 
 // labels_out: int64[n], filled with cluster ids or -1. Returns #clusters.
+//
+// Two-phase: (1) a thread-parallel pass computes each point's eps-neighbor
+// list once and caches it (the lists double as the core test: a point is
+// core iff its list, which includes itself, has >= min_points entries);
+// (2) the sequential BFS expansion then reads the cached lists instead of
+// re-scanning the grid — with min_points=500-dense clusters the second scan
+// used to cost as much as the first. Cached entries are capped at ~1 GB;
+// past the budget a point's list is left empty (unambiguous: every real
+// list contains the point itself) and the BFS recomputes it on the fly.
 int32_t pc_dbscan(const double* pts, int32_t n, double eps, int32_t min_points,
                   int64_t* labels_out) {
   Grid grid = build_grid(pts, n, eps);
   std::vector<uint8_t> core(n, 0);
-  std::vector<int32_t> scratch;
-  scratch.reserve(256);
-  for (int32_t i = 0; i < n; ++i) {
+  std::vector<std::vector<int32_t>> nbrs(n);
+  const int64_t budget_entries = (1ll << 30) / sizeof(int32_t);
+  std::atomic<int64_t> cached(0);
+  parallel_for(n, [&](int32_t i) {
+    thread_local std::vector<int32_t> scratch;
     neighbors_of(pts, grid, eps, i, scratch);
     core[i] = scratch.size() >= static_cast<size_t>(min_points);
-  }
+    int64_t sz = static_cast<int64_t>(scratch.size());
+    if (cached.fetch_add(sz) + sz <= budget_entries) nbrs[i] = scratch;
+  });
   std::memset(labels_out, 0xff, sizeof(int64_t) * n);  // all -1
   int32_t cluster = 0;
-  std::vector<int32_t> stack;
+  std::vector<int32_t> stack, scratch;
   for (int32_t i = 0; i < n; ++i) {
     if (labels_out[i] != -1 || !core[i]) continue;
     labels_out[i] = cluster;
@@ -102,8 +142,12 @@ int32_t pc_dbscan(const double* pts, int32_t n, double eps, int32_t min_points,
     while (!stack.empty()) {
       int32_t j = stack.back();
       stack.pop_back();
-      neighbors_of(pts, grid, eps, j, scratch);
-      for (int32_t q : scratch) {
+      const std::vector<int32_t>* nb = &nbrs[j];
+      if (nb->empty()) {
+        neighbors_of(pts, grid, eps, j, scratch);
+        nb = &scratch;
+      }
+      for (int32_t q : *nb) {
         if (labels_out[q] == -1) {
           labels_out[q] = cluster;
           if (core[q]) stack.push_back(q);
@@ -119,11 +163,11 @@ int32_t pc_dbscan(const double* pts, int32_t n, double eps, int32_t min_points,
 void pc_radius_counts(const double* pts, int32_t n, double radius,
                       int32_t* counts_out) {
   Grid grid = build_grid(pts, n, radius);
-  std::vector<int32_t> scratch;
-  for (int32_t i = 0; i < n; ++i) {
+  parallel_for(n, [&](int32_t i) {
+    thread_local std::vector<int32_t> scratch;
     neighbors_of(pts, grid, radius, i, scratch);
     counts_out[i] = static_cast<int32_t>(scratch.size()) - 1;
-  }
+  });
 }
 
 // pc_load_csv_files: threaded bulk reader for the reference's on-disk sample
