@@ -11,6 +11,7 @@ from pointnet_like_pose_estimation_tpu.pipeline.preprocess import (
     cluster_point,
     dbscan,
     ransac_plane,
+    clean_scene,
     remove_plane,
     remove_radius_outlier,
     remove_statistical_outlier,
@@ -27,6 +28,7 @@ __all__ = [
     "cluster_point",
     "dbscan",
     "ransac_plane",
+    "clean_scene",
     "remove_plane",
     "remove_radius_outlier",
     "remove_statistical_outlier",

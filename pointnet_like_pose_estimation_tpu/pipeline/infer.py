@@ -132,17 +132,25 @@ class GraspPipeline:
         pts = pp.clip_distance(points, cfg.clip_range, cfg.clip_axis)
         if len(pts) < cfg.min_points:
             return None
-        pts = pp.remove_plane(
-            pts,
-            distance_threshold=cfg.plane_threshold,
-            num_iterations=cfg.plane_iterations,
-        )
         if cfg.outlier_method == "radius":
-            pts = pp.remove_radius_outlier(pts, cfg.radius_nb_points, cfg.radius)
-        elif cfg.outlier_method == "statistical":
-            pts = pp.remove_statistical_outlier(
-                pts, cfg.stat_nb_neighbors, cfg.stat_std_ratio
+            # fused plane+radius clean-up: one device dispatch for the pair
+            pts = pp.clean_scene(
+                pts,
+                plane_threshold=cfg.plane_threshold,
+                num_iterations=cfg.plane_iterations,
+                radius_nb_points=cfg.radius_nb_points,
+                radius=cfg.radius,
             )
+        else:
+            pts = pp.remove_plane(
+                pts,
+                distance_threshold=cfg.plane_threshold,
+                num_iterations=cfg.plane_iterations,
+            )
+            if cfg.outlier_method == "statistical":
+                pts = pp.remove_statistical_outlier(
+                    pts, cfg.stat_nb_neighbors, cfg.stat_std_ratio
+                )
         if len(pts) < cfg.min_points:
             return None
         return pp.cluster_point(pts, cfg.eps, cfg.min_points)

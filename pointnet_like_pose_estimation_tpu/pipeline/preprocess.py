@@ -52,9 +52,10 @@ def clip_distance(points: np.ndarray, dis=(0.0, 2.0), axis: int = 2) -> np.ndarr
     return points[keep]
 
 
-@functools.partial(jax.jit, static_argnames=("num_iterations", "chunk"))
-def _ransac_score(xyz, valid, key, threshold, num_iterations=1000, chunk=100):
-    """Score plane hypotheses; returns (best normal, best offset)."""
+def _best_plane(xyz, valid, key, threshold, num_iterations=1000, chunk=100):
+    """Score plane hypotheses; returns (best normal, best offset). Traced
+    body shared by the staged `_ransac_score` and the fused `_clean_masks`
+    so both paths pick the identical plane for a given seed."""
     N = xyz.shape[0]
     p = valid.astype(jnp.float32)
     p = p / jnp.sum(p)
@@ -74,6 +75,61 @@ def _ransac_score(xyz, valid, key, threshold, num_iterations=1000, chunk=100):
     ).reshape(-1)
     best = jnp.argmax(counts)
     return n[best], d[best]
+
+
+_ransac_score = jax.jit(_best_plane, static_argnames=("num_iterations", "chunk"))
+
+
+@functools.partial(jax.jit, static_argnames=("num_iterations", "chunk"))
+def _clean_masks(xyz, valid, key, plane_threshold, radius, nb_points,
+                 num_iterations=1000, chunk=512):
+    """Plane fit + plane-inlier rejection + radius-outlier test as ONE
+    compiled program: over the tunneled single-chip setup the staged path
+    pays a device round trip per stage (plus a re-pad and second H2D of the
+    surviving cloud); fusing them halves the dispatch count of the
+    clean-up phase. Semantics match remove_plane -> remove_radius_outlier
+    exactly: neighbors are counted among the points that survive the plane
+    cut (self excluded)."""
+    n, d = _best_plane(xyz, valid, key, plane_threshold,
+                       num_iterations=num_iterations)
+    keep = valid & (jnp.abs(xyz @ n + d) > plane_threshold)
+
+    def row_block(rows):
+        d2 = (
+            jnp.sum(rows**2, -1, keepdims=True)
+            - 2.0 * rows @ xyz.T
+            + jnp.sum(xyz**2, -1)[None, :]
+        )
+        within = (d2 <= radius * radius) & keep[None, :]
+        return jnp.sum(within, axis=-1) - 1
+
+    counts = jax.lax.map(row_block, xyz.reshape(-1, chunk, 3)).reshape(-1)
+    return keep & (counts >= nb_points)
+
+
+def clean_scene(
+    points: np.ndarray,
+    plane_threshold: float = 0.006,
+    num_iterations: int = 1000,
+    radius_nb_points: int = 200,
+    radius: float = 0.05,
+    seed: int = 0,
+) -> np.ndarray:
+    """Fused remove_plane + remove_radius_outlier (collect.py:6-28,92-102) in
+    a single device dispatch; identical output to the staged calls."""
+    xyz, valid = _pad_bucket(points[:, :3])
+    mask = np.asarray(
+        _clean_masks(
+            jnp.asarray(xyz),
+            jnp.asarray(valid),
+            jax.random.PRNGKey(seed),
+            plane_threshold,
+            radius,
+            radius_nb_points,
+            num_iterations=num_iterations,
+        )
+    )
+    return points[mask[: len(points)]]
 
 
 def ransac_plane(

@@ -104,6 +104,10 @@ def stage_split(pipe, pts):
     cleaned = pp.remove_radius_outlier(planeless, cfg.radius_nb_points, cfg.radius)
     out["radius_outlier"] = timed(lambda: pp.remove_radius_outlier(
         planeless, cfg.radius_nb_points, cfg.radius))
+    out["clean_fused"] = timed(lambda: pp.clean_scene(
+        clipped, plane_threshold=cfg.plane_threshold,
+        num_iterations=cfg.plane_iterations,
+        radius_nb_points=cfg.radius_nb_points, radius=cfg.radius))
     out["cluster_native"] = timed(lambda: pp.cluster_point(
         cleaned, cfg.eps, cfg.min_points))
     out["n_after_clean"] = int(len(cleaned))

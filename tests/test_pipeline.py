@@ -9,6 +9,7 @@ from pointnet_like_pose_estimation_tpu.pipeline import (
     CameraIntrinsics,
     GraspPipeline,
     PipelineConfig,
+    clean_scene,
     clip_distance,
     cluster_point,
     dbscan,
@@ -92,6 +93,19 @@ def test_radius_outlier_removal():
     out = remove_radius_outlier(pts, nb_points=50, radius=0.05)
     assert len(out) >= 450
     assert (np.abs(out) < 0.5).all()
+
+
+def test_clean_scene_matches_staged_pipeline():
+    """Fused plane+radius clean-up == remove_plane -> remove_radius_outlier
+    (same seed, identical surviving points)."""
+    plane, blob1, blob2 = _scene(seed=7)
+    pts = np.concatenate([plane, blob1, blob2]).astype(np.float32)
+    staged = remove_plane(pts, distance_threshold=0.006, num_iterations=200)
+    staged = remove_radius_outlier(staged, nb_points=30, radius=0.05)
+    fused = clean_scene(pts, plane_threshold=0.006, num_iterations=200,
+                        radius_nb_points=30, radius=0.05)
+    assert staged.shape == fused.shape
+    np.testing.assert_array_equal(staged, fused)
 
 
 def test_statistical_outlier_removal():
