@@ -164,9 +164,14 @@ class GraspPipeline:
         if M == n:
             return xyz
         if M > n:
-            idx = np.asarray(
-                jax.jit(farthest_point_sample, static_argnums=1)(jnp.asarray(xyz), n)
-            )
+            # bucket the per-scene (K, M) so jit reuses one compiled FPS
+            # across scenes (pads are duplicate points at higher indices —
+            # never selected while real points remain, see cluster_point)
+            kb, mb = -(-K // 4) * 4, -(-M // 256) * 256
+            padded = np.tile(xyz[:, :1], (1, mb, 1))
+            padded[:, :M] = xyz
+            padded = np.concatenate([padded, np.tile(padded[:1], (kb - K, 1, 1))])
+            idx = np.asarray(pp._fps_jit(jnp.asarray(padded), n))[:K]
             return np.take_along_axis(xyz, idx[..., None], axis=1)
         reps = -(-n // M)
         return np.tile(xyz, (1, reps, 1))[:, :n]
@@ -215,7 +220,12 @@ class GraspPipeline:
             xyz = jax.device_put(jnp.asarray(xyz), self._data_sharding)
             out = jax.device_get(self._infer(xyz))
             return {k: v[:K] for k, v in out.items()}
-        return jax.device_get(self._infer(jnp.asarray(xyz)))
+        # bucket K so varying cluster counts share one compiled program
+        pad = (-K) % 4
+        if pad:
+            xyz = np.concatenate([xyz, np.tile(xyz[:1], (pad, 1, 1))])
+        out = jax.device_get(self._infer(jnp.asarray(xyz)))
+        return {k: v[:K] for k, v in out.items()}
 
     def __call__(self, points: np.ndarray) -> dict | None:
         """Full raw-cloud -> grasp pipeline; None when no clusters found."""

@@ -32,6 +32,14 @@ from pointnet_like_pose_estimation_tpu.ops import farthest_point_sample
 
 _BUCKET = 2048
 
+# module-level jit so repeated calls share the trace cache; sizes are
+# bucketed at the call sites so varying scenes reuse compiled programs
+_fps_jit = jax.jit(farthest_point_sample, static_argnums=1)
+
+
+def _round_up(n: int, q: int) -> int:
+    return -(-n // q) * q
+
 
 def _pad_bucket(points: np.ndarray):
     """Pad [N, C] to a bucketed static length; returns (padded, valid_mask)."""
@@ -322,20 +330,28 @@ def cluster_point(
     groups = [np.where(labels == c)[0] for c in range(n_clusters)]
     min_size = min(len(g) for g in groups)
     out = np.zeros((n_clusters, min_size, points.shape[1]), np.float32)
-    # batched FPS on device: pad clusters to a common length
+    # batched FPS on device. Every dimension that varies per scene is padded
+    # to a bucket so jit reuses one compiled program across scenes instead of
+    # recompiling per (K, max_size, min_size): FPS is greedy, so selection t
+    # never depends on how many later selections exist (prefix-stable), and
+    # duplicate pads of an already-selected point keep min-distance 0 so
+    # argmax (first-index tie-break) never picks them while real points
+    # remain — bucketed-then-sliced output is exactly the unbucketed output.
     max_size = max(len(g) for g in groups)
+    n_bucket = _round_up(max_size, 256)
+    s_bucket = min(_round_up(min_size, 256), n_bucket)
+    k_bucket = _round_up(n_clusters, 4)
     batch = np.stack(
         [
             np.concatenate(
-                [points[g, :3], np.tile(points[g[:1], :3], (max_size - len(g), 1))]
+                [points[g, :3], np.tile(points[g[:1], :3], (n_bucket - len(g), 1))]
             )
             for g in groups
         ]
+        + [np.tile(points[groups[0][:1], :3], (n_bucket, 1))] * (k_bucket - n_clusters)
     ).astype(np.float32)
-    idx = np.asarray(
-        jax.jit(farthest_point_sample, static_argnums=1)(jnp.asarray(batch), min_size)
-    )
+    idx = np.asarray(_fps_jit(jnp.asarray(batch), s_bucket))[:n_clusters, :min_size]
     for c, g in enumerate(groups):
-        padded = np.concatenate([g, np.tile(g[:1], max_size - len(g))])
+        padded = np.concatenate([g, np.tile(g[:1], n_bucket - len(g))])
         out[c] = points[padded[idx[c]]]
     return out

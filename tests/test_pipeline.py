@@ -118,6 +118,21 @@ def test_statistical_outlier_removal():
     assert (np.abs(out) < 0.4).all()
 
 
+def test_fps_bucketing_is_output_stable():
+    """The bucketing in cluster_point/_resample relies on two FPS
+    properties: prefix stability (selection t ignores later selections) and
+    pad invisibility (duplicate pads of the start point keep min-dist 0 and
+    lose every first-index argmax tie-break)."""
+    from pointnet_like_pose_estimation_tpu.ops import farthest_point_sample
+
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(2, 500, 3)).astype(np.float32)
+    base = np.asarray(farthest_point_sample(jnp.asarray(pts), 64))
+    padded = np.concatenate([pts, np.tile(pts[:, :1], (1, 268, 1))], axis=1)
+    big = np.asarray(farthest_point_sample(jnp.asarray(padded), 256))
+    np.testing.assert_array_equal(big[:, :64], base)
+
+
 def test_dbscan_two_clusters():
     _, blob1, blob2 = _scene(n_obj=600)
     pts = np.concatenate([blob1, blob2])
