@@ -227,8 +227,88 @@ class GraspPipeline:
         out = jax.device_get(self._infer(jnp.asarray(xyz)))
         return {k: v[:K] for k, v in out.items()}
 
+    # ---------- fused scene program: everything after DBSCAN in ONE dispatch ----------
+
+    def _scene_infer_fn(self, xyz, idx_batch, min_size, *, s_bucket, branch):
+        """[P_b, 3] cleaned points + [K_b, n_bucket] cluster gather indices ->
+        (grasp dict, global indices of the truncated clusters). Fuses the
+        cluster-truncation FPS (cluster_point), the resample FPS/tile
+        (_resample), and the 5-model inference into one compiled program;
+        `min_size` is a traced scalar so it never forces a recompile.
+        Reproduces the staged semantics exactly: positions >= min_size are
+        replaced by copies of each cluster's FPS start point, which hold
+        min-distance 0 and lose every first-index argmax tie-break, so the
+        second FPS selects as if the array were sliced to min_size."""
+        clusters = xyz[idx_batch]                             # [K_b, n_bucket, 3]
+        cidx = farthest_point_sample(clusters, s_bucket)      # [K_b, s_bucket]
+        trunc = jnp.take_along_axis(clusters, cidx[..., None], axis=1)
+        ar = jnp.arange(s_bucket)
+        masked = jnp.where((ar < min_size)[None, :, None], trunc, trunc[:, :1])
+        n = self.cfg.num_points
+        if branch == "fps":                                   # min_size > n
+            ridx = farthest_point_sample(masked, n)
+            xin = jnp.take_along_axis(masked, ridx[..., None], axis=1)
+        elif branch == "exact":                               # min_size == n
+            xin = trunc[:, :n]
+        else:                                                 # min_size < n: tile
+            xin = jnp.take(masked, jnp.arange(n) % min_size, axis=1)
+        cglobal = jnp.take_along_axis(idx_batch, cidx, axis=1)
+        return self._infer_fn(xin), cglobal
+
+    def _infer_scene(self, pts: np.ndarray, labels: np.ndarray) -> dict | None:
+        """Cleaned cloud + DBSCAN labels -> grasp dict, single device
+        dispatch. Output-identical to cluster_point -> infer_clusters."""
+        n_clusters = int(labels.max()) + 1
+        if n_clusters <= 0:
+            return None
+        groups = [np.where(labels == c)[0] for c in range(n_clusters)]
+        min_size = min(len(g) for g in groups)
+        max_size = max(len(g) for g in groups)
+        rnd = lambda v, q: -(-v // q) * q
+        n_bucket = rnd(max_size, 256)
+        s_bucket = min(rnd(min_size, 256), n_bucket)
+        k_bucket = rnd(n_clusters, 4)
+        idx_batch = np.stack(
+            [np.concatenate([g, np.tile(g[:1], n_bucket - len(g))]) for g in groups]
+            + [np.tile(groups[0][:1], n_bucket)] * (k_bucket - n_clusters)
+        ).astype(np.int32)
+        xyz = np.zeros((rnd(len(pts), 2048), 3), np.float32)
+        xyz[: len(pts)] = pts[:, :3]
+        n = self.cfg.num_points
+        branch = "fps" if min_size > n else ("exact" if min_size == n else "tile")
+        if not hasattr(self, "_scene_jit"):
+            self._scene_jit = jax.jit(
+                self._scene_infer_fn, static_argnames=("s_bucket", "branch")
+            )
+        out, cglobal = self._scene_jit(
+            jnp.asarray(xyz), jnp.asarray(idx_batch),
+            jnp.asarray(min_size, jnp.int32), s_bucket=s_bucket, branch=branch,
+        )
+        res = {k: v[:n_clusters] for k, v in jax.device_get(out).items()}
+        res["clusters"] = pts[np.asarray(cglobal)[:n_clusters, :min_size]]
+        return res
+
     def __call__(self, points: np.ndarray) -> dict | None:
-        """Full raw-cloud -> grasp pipeline; None when no clusters found."""
+        """Full raw-cloud -> grasp pipeline; None when no clusters found.
+
+        On the default single-chip radius path the whole scene costs TWO
+        device dispatches — clean_scene (plane+outlier) and _infer_scene
+        (truncate+resample+classify+pose) — with only DBSCAN's union-find
+        on host between them. Mesh / non-radius configs use the staged
+        path, whose outputs are identical."""
+        cfg = self.cfg
+        if self.mesh is None and cfg.outlier_method == "radius":
+            pts = pp.clip_distance(points, cfg.clip_range, cfg.clip_axis)
+            if len(pts) < cfg.min_points:
+                return None
+            pts = pp.clean_scene(
+                pts, plane_threshold=cfg.plane_threshold,
+                num_iterations=cfg.plane_iterations,
+                radius_nb_points=cfg.radius_nb_points, radius=cfg.radius,
+            )
+            if len(pts) < cfg.min_points:
+                return None
+            return self._infer_scene(pts, pp.dbscan(pts, cfg.eps, cfg.min_points))
         clusters = self.preprocess(points)
         if clusters is None:
             return None

@@ -192,6 +192,39 @@ def test_end_to_end_pipeline(tiny_pipeline):
     np.testing.assert_allclose(eye, np.eye(3)[None].repeat(K, 0), atol=1e-5)
 
 
+def test_fused_scene_path_matches_staged(tiny_pipeline):
+    """__call__'s two-dispatch fused path (clean_scene + _infer_scene) must
+    be output-identical to the staged preprocess -> infer_clusters chain,
+    in both the FPS-resample and tile-resample branches."""
+    plane, blob1, blob2 = _scene(n_obj=300)
+    pts = np.concatenate([plane, blob1, blob2]).astype(np.float32)
+    fused = tiny_pipeline(pts)
+    clusters = tiny_pipeline.preprocess(pts)
+    staged = tiny_pipeline.infer_clusters(clusters)
+    staged["clusters"] = clusters
+    assert fused is not None and set(fused) == set(staged)
+    # tiny_pipeline has num_points=64 < cluster size -> "fps" branch
+    assert clusters.shape[1] > tiny_pipeline.cfg.num_points
+    for k in fused:
+        np.testing.assert_allclose(
+            np.asarray(fused[k], np.float32), np.asarray(staged[k], np.float32),
+            rtol=1e-5, atol=1e-6, err_msg=k)
+    # "tile" branch: num_points larger than any cluster
+    big = PipelineConfig(
+        num_points=512, min_points=50, radius_nb_points=20, radius=0.05,
+        plane_iterations=100, eps=0.05)
+    pipe2 = GraspPipeline(big, tiny_pipeline.models)
+    fused2 = pipe2(pts)
+    clusters2 = pipe2.preprocess(pts)
+    staged2 = pipe2.infer_clusters(clusters2)
+    staged2["clusters"] = clusters2
+    assert clusters2.shape[1] < big.num_points
+    for k in fused2:
+        np.testing.assert_allclose(
+            np.asarray(fused2[k], np.float32), np.asarray(staged2[k], np.float32),
+            rtol=1e-5, atol=1e-6, err_msg=k)
+
+
 def test_pipeline_none_when_empty(tiny_pipeline):
     pts = np.random.default_rng(4).uniform(-1, 1, (60, 3)).astype(np.float32)
     pts[:, 2] = 5.0  # all beyond clip range
