@@ -255,9 +255,11 @@ class GraspPipeline:
         cglobal = jnp.take_along_axis(idx_batch, cidx, axis=1)
         return self._infer_fn(xin), cglobal
 
-    def _infer_scene(self, pts: np.ndarray, labels: np.ndarray) -> dict | None:
+    def _infer_scene(self, pts: np.ndarray, labels: np.ndarray, sync: bool = True):
         """Cleaned cloud + DBSCAN labels -> grasp dict, single device
-        dispatch. Output-identical to cluster_point -> infer_clusters."""
+        dispatch. Output-identical to cluster_point -> infer_clusters.
+        With sync=False, returns an un-fetched handle for _finish_scene so
+        a streaming caller can overlap the device execution."""
         n_clusters = int(labels.max()) + 1
         if n_clusters <= 0:
             return None
@@ -284,9 +286,75 @@ class GraspPipeline:
             jnp.asarray(xyz), jnp.asarray(idx_batch),
             jnp.asarray(min_size, jnp.int32), s_bucket=s_bucket, branch=branch,
         )
+        packed = (out, cglobal, pts, n_clusters, min_size)
+        return self._finish_scene(packed) if sync else packed
+
+    @staticmethod
+    def _finish_scene(packed) -> dict:
+        """Force a _infer_scene(sync=False) handle into the result dict."""
+        out, cglobal, pts, n_clusters, min_size = packed
         res = {k: v[:n_clusters] for k, v in jax.device_get(out).items()}
         res["clusters"] = pts[np.asarray(cglobal)[:n_clusters, :min_size]]
         return res
+
+    def stream(self, scenes):
+        """Pipelined serving for a capture loop (the reference streamed
+        640x480@30fps, camera_test/camera.json): yields one grasp dict (or
+        None) per raw scene, in order, with host and device work
+        overlapped. While the device executes frame t-1's fused inference
+        and frame t+1's fused clean-up, the host runs frame t's DBSCAN and
+        cluster indexing — sustained throughput approaches
+        max(host-per-frame, device-per-frame) instead of their sum, and
+        per-frame results are bit-identical to __call__. Mesh / non-radius
+        configs fall back to sequential __call__."""
+        cfg = self.cfg
+        if self.mesh is not None or cfg.outlier_method != "radius":
+            for pts in scenes:
+                yield self(pts)
+            return
+
+        _END = object()
+
+        def start_clean(raw):
+            """Host clip + async dispatch of the fused clean program."""
+            pts = pp.clip_distance(raw, cfg.clip_range, cfg.clip_axis)
+            if len(pts) < cfg.min_points:
+                return None
+            return pts, pp.clean_masks_async(
+                pts, plane_threshold=cfg.plane_threshold,
+                num_iterations=cfg.plane_iterations,
+                radius_nb_points=cfg.radius_nb_points, radius=cfg.radius,
+            )
+
+        def resolve(cur):
+            """Clean mask -> DBSCAN -> async infer dispatch (no fetch)."""
+            if cur is None:
+                return None
+            pts, mask_dev = cur
+            cleaned = pts[np.asarray(mask_dev)[: len(pts)]]
+            if len(cleaned) < cfg.min_points:
+                return None
+            labels = pp.dbscan(cleaned, cfg.eps, cfg.min_points)
+            return self._infer_scene(cleaned, labels, sync=False)
+
+        it = iter(scenes)
+        try:
+            cur = start_clean(next(it))
+        except StopIteration:
+            return
+        pending = []                                  # one-deep infer lookbehind
+        while cur is not _END:
+            try:
+                nxt = start_clean(next(it))           # dispatch clean(t+1) first
+            except StopIteration:
+                nxt = _END
+            pending.append(resolve(cur))              # DBSCAN(t) overlaps device
+            while len(pending) > 1:
+                head = pending.pop(0)
+                yield None if head is None else self._finish_scene(head)
+            cur = nxt
+        for head in pending:
+            yield None if head is None else self._finish_scene(head)
 
     def __call__(self, points: np.ndarray) -> dict | None:
         """Full raw-cloud -> grasp pipeline; None when no clusters found.

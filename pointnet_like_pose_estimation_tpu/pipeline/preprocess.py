@@ -115,28 +115,33 @@ def _clean_masks(xyz, valid, key, plane_threshold, radius, nb_points,
     return keep & (counts >= nb_points)
 
 
-def clean_scene(
+def clean_masks_async(
     points: np.ndarray,
     plane_threshold: float = 0.006,
     num_iterations: int = 1000,
     radius_nb_points: int = 200,
     radius: float = 0.05,
     seed: int = 0,
-) -> np.ndarray:
+) -> jax.Array:
+    """Dispatch the fused clean program and return the (padded) keep-mask
+    WITHOUT forcing it — lets a streaming caller overlap host work with the
+    device execution (JAX dispatch is asynchronous)."""
+    xyz, valid = _pad_bucket(points[:, :3])
+    return _clean_masks(
+        jnp.asarray(xyz),
+        jnp.asarray(valid),
+        jax.random.PRNGKey(seed),
+        plane_threshold,
+        radius,
+        radius_nb_points,
+        num_iterations=num_iterations,
+    )
+
+
+def clean_scene(points: np.ndarray, **kw) -> np.ndarray:
     """Fused remove_plane + remove_radius_outlier (collect.py:6-28,92-102) in
     a single device dispatch; identical output to the staged calls."""
-    xyz, valid = _pad_bucket(points[:, :3])
-    mask = np.asarray(
-        _clean_masks(
-            jnp.asarray(xyz),
-            jnp.asarray(valid),
-            jax.random.PRNGKey(seed),
-            plane_threshold,
-            radius,
-            radius_nb_points,
-            num_iterations=num_iterations,
-        )
-    )
+    mask = np.asarray(clean_masks_async(points, **kw))
     return points[mask[: len(points)]]
 
 

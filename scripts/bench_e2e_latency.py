@@ -152,6 +152,23 @@ def main():
                     reps=3)
             json.dump(out, open(OUT, "w"), indent=2)
             print(name, "stages", row["stages"], file=sys.stderr, flush=True)
+        if "stream" not in row:
+            # pipelined stream(): sustained frames/s with host/device overlap
+            n_frames = 12
+            list(pipe.stream([pts] * 2))            # warm the compiled programs
+            t0 = time.perf_counter()
+            results = list(pipe.stream([pts] * n_frames))
+            span = time.perf_counter() - t0
+            assert all(r is not None for r in results)
+            row["stream"] = {
+                "frames": n_frames,
+                "sustained_ms_per_frame": round(span / n_frames * 1e3, 3),
+                "sustained_fps": round(n_frames / span, 2),
+                "vs_sequential_total": round(
+                    row["total"]["median_ms"] / (span / n_frames * 1e3), 3),
+            }
+            json.dump(out, open(OUT, "w"), indent=2)
+            print(name, "stream", row["stream"], file=sys.stderr, flush=True)
     json.dump(out, open(OUT, "w"), indent=2)
     print(json.dumps(out, indent=2))
 

@@ -225,6 +225,26 @@ def test_fused_scene_path_matches_staged(tiny_pipeline):
             rtol=1e-5, atol=1e-6, err_msg=k)
 
 
+def test_stream_matches_sequential(tiny_pipeline):
+    """Pipelined stream() yields per-frame results identical to __call__,
+    in order, including None frames."""
+    plane, blob1, blob2 = _scene(n_obj=300)
+    sceneA = np.concatenate([plane, blob1, blob2]).astype(np.float32)
+    empty = np.full((60, 3), 5.0, np.float32)        # beyond clip range
+    sceneB = np.concatenate([plane, blob1 + 0.01, blob2]).astype(np.float32)
+    frames = [sceneA, empty, sceneB]
+    streamed = list(tiny_pipeline.stream(frames))
+    sequential = [tiny_pipeline(f) for f in frames]
+    assert len(streamed) == 3 and streamed[1] is None and sequential[1] is None
+    for got, want in zip(streamed, sequential):
+        if want is None:
+            assert got is None
+            continue
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]), err_msg=k)
+
+
 def test_pipeline_none_when_empty(tiny_pipeline):
     pts = np.random.default_rng(4).uniform(-1, 1, (60, 3)).astype(np.float32)
     pts[:, 2] = 5.0  # all beyond clip range
