@@ -105,32 +105,39 @@ def cmd_infer(args):
     from pointnet_like_pose_estimation_tpu.data.io_utils import load_ply
     from pointnet_like_pose_estimation_tpu.pipeline import GraspPipeline, PipelineConfig
 
-    cloud = (
-        load_ply(args.input)
-        if args.input.endswith(".ply")
-        else np.loadtxt(args.input, delimiter=",")
-    )
-    cfg = PipelineConfig()
+    def load(path):
+        cloud = (
+            load_ply(path) if path.endswith(".ply")
+            else np.loadtxt(path, delimiter=",")
+        )
+        return cloud.astype(np.float32)
+
+    overrides = json.loads(args.config) if args.config else {}
+    if "clip_range" in overrides:
+        overrides["clip_range"] = tuple(overrides["clip_range"])
+    cfg = PipelineConfig(**overrides)
     if args.checkpoints:
         paths = json.loads(args.checkpoints)
         pipe = GraspPipeline.from_checkpoints(cfg, paths)
     else:
         pipe = GraspPipeline.from_random(cfg)
-    out = pipe(cloud.astype(np.float32))
-    if out is None:
-        print(json.dumps({"clusters": 0}))
-        return
-    print(
-        json.dumps(
-            {
-                "clusters": int(out["clusters"].shape[0]),
-                "pred_class": out["pred_class"].tolist(),
-                "rotation_deg": out["rotation_deg"].tolist(),
-                "translation": out["translation"].tolist(),
-                "width": out["width"].tolist(),
-            }
+    # several inputs stream through the pipelined path (host/device overlap)
+    for path, out in zip(args.input, pipe.stream(load(p) for p in args.input)):
+        if out is None:
+            print(json.dumps({"input": path, "clusters": 0}))
+            continue
+        print(
+            json.dumps(
+                {
+                    "input": path,
+                    "clusters": int(out["clusters"].shape[0]),
+                    "pred_class": out["pred_class"].tolist(),
+                    "rotation_deg": out["rotation_deg"].tolist(),
+                    "translation": out["translation"].tolist(),
+                    "width": out["width"].tolist(),
+                }
+            )
         )
-    )
 
 
 def cmd_sweep(args):
@@ -218,8 +225,13 @@ def main(argv=None):
     _add_train_args(e)
     e.set_defaults(fn=cmd_eval)
 
-    i = sub.add_parser("infer", help="end-to-end grasp inference on a cloud file")
-    i.add_argument("--input", required=True)
+    i = sub.add_parser("infer", help="end-to-end grasp inference on cloud file(s)")
+    i.add_argument("--input", required=True, nargs="+",
+                   help="one or more .ply/.txt clouds; several stream "
+                        "through the pipelined serving path in order")
+    i.add_argument("--config", default="",
+                   help="JSON overrides for PipelineConfig fields, e.g. "
+                        "'{\"clip_range\": [-1.0, 0.0], \"min_points\": 200}'")
     i.add_argument("--checkpoints", default=None, help="json dict name->path")
     i.set_defaults(fn=cmd_infer)
 
