@@ -40,6 +40,7 @@ from pointnet_like_pose_estimation_tpu.nn import (
     SetAbstraction,
     SetAbstractionMSG,
     TNet,
+    batch_norm_f32,
 )
 
 Dtype = Any
@@ -53,7 +54,7 @@ class MeanMLP(nn.Module):
     @nn.compact
     def __call__(self, mean, *, train: bool):
         h = nn.Dense(6, dtype=self.dtype, name="fc1")(mean)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, axis_name=bn_axis_name(), name="bn1")(h)
+        h = batch_norm_f32(h, train=train, name="bn1")
         h = nn.relu(h)
         return nn.Dense(3, dtype=self.dtype, name="fc2")(h)
 

@@ -3,6 +3,7 @@
 from pointnet_like_pose_estimation_tpu.nn.layers import (
     DenseHead,
     PointwiseMLP,
+    batch_norm_f32,
 )
 from pointnet_like_pose_estimation_tpu.nn.tnet import (
     PointNetEncoder,
@@ -17,6 +18,7 @@ from pointnet_like_pose_estimation_tpu.nn.set_abstraction import (
 __all__ = [
     "DenseHead",
     "PointwiseMLP",
+    "batch_norm_f32",
     "PointNetEncoder",
     "TNet",
     "orthogonality_regularizer",

@@ -23,6 +23,30 @@ from pointnet_like_pose_estimation_tpu.nn.bn_context import bn_axis_name
 Dtype = Any
 
 
+def batch_norm_f32(x, *, train: bool, momentum: float = 0.9, name: str):
+    """BatchNorm evaluated in float32 regardless of the surrounding compute
+    dtype.
+
+    bfloat16 normalization measurably breaks training even though flax
+    computes the batch statistics in f32: pn2_ssg on the full-scale set
+    sticks at ~41% train accuracy vs 99% in f32 (log/classification/
+    r5_pn2_ssg_bf16), and a 200-step bisection recovers full f32 training
+    the moment only the BatchNorm runs in f32 (docs/PERF.md, round 5) —
+    the normalize/affine arithmetic itself needs the mantissa. So: matmuls
+    stay bf16 on the MXU, normalization runs f32, and the next Dense casts
+    back down. The parameter tree and the f32 path are unchanged.
+    """
+    if x.dtype == jnp.bfloat16:
+        x = x.astype(jnp.float32)
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=momentum,
+        dtype=None,
+        axis_name=bn_axis_name(),
+        name=name,
+    )(x)
+
+
 class PointwiseMLP(nn.Module):
     """Stack of Dense -> BatchNorm -> ReLU over the trailing channel axis.
 
@@ -51,13 +75,9 @@ class PointwiseMLP(nn.Module):
         for i, width in enumerate(self.features):
             x = nn.Dense(width, dtype=self.dtype, name=f"dense_{i}")(x)
             if i < n - 1 or self.final_activation:
-                x = nn.BatchNorm(
-                    use_running_average=not train,
-                    momentum=self.bn_momentum,
-                    dtype=self.dtype,
-                    axis_name=bn_axis_name(),
-                    name=f"bn_{i}",
-                )(x)
+                x = batch_norm_f32(
+                    x, train=train, momentum=self.bn_momentum, name=f"bn_{i}"
+                )
                 x = nn.relu(x)
         return x
 
@@ -93,12 +113,8 @@ class DenseHead(nn.Module):
             x = nn.Dense(width, dtype=self.dtype, name=f"fc_{i}")(x)
             if i == n - 1:
                 break
-            bn = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=self.bn_momentum,
-                dtype=self.dtype,
-                axis_name=bn_axis_name(),
-                name=f"bn_{i}",
+            bn = lambda v, _i=i: batch_norm_f32(
+                v, train=train, momentum=self.bn_momentum, name=f"bn_{_i}"
             )
             drop = nn.Dropout(self.dropout_rate, deterministic=not train)
             if self.style == "cls_v1":

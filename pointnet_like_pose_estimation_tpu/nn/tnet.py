@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from pointnet_like_pose_estimation_tpu.nn.layers import PointwiseMLP
+from pointnet_like_pose_estimation_tpu.nn.layers import PointwiseMLP, batch_norm_f32
 from pointnet_like_pose_estimation_tpu.nn.bn_context import bn_axis_name
 
 Dtype = Any
@@ -90,10 +90,7 @@ class PointNetEncoder(nn.Module):
         point_feat = x
         x = PointwiseMLP([128], dtype=self.dtype, name="conv2")(x, train=train)
         x = nn.Dense(1024, dtype=self.dtype, name="conv3")(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, dtype=self.dtype,
-            axis_name=bn_axis_name(), name="bn3"
-        )(x)
+        x = batch_norm_f32(x, train=train, name="bn3")
         x = jnp.max(x, axis=-2)                               # [B, 1024]
         if self.global_feat:
             return x, tin, tfeat

@@ -52,15 +52,14 @@ test_ds = load_dataset(DATA, "test")
 print(f"train={len(train_ds)} test={len(test_ds)}", flush=True)
 
 # (result key, model, experiment, [epoch targets per pass], extra cfg).
+#
+# Restart order (round-5 mid-course correction): the first bf16 attempt
+# trained with bfloat16 BatchNorm and collapsed (41% vs 99% — bisected to
+# the normalization arithmetic, see nn/layers.batch_norm_f32). With the
+# fix landed the bf16 validation runs FIRST (fresh experiments, broken
+# state deleted), then the remaining convergence extensions.
 JOBS = [
-    # pass-0 tranche: clear the cheap climbing rows
-    ("translation_ssg", "translation_ssg", "r3_translation_ssg",
-     [100, 100, 100], {}),
-    ("sign_msg", "sign_msg", "r3_sign_msg",
-     [45, 60, 80], {"epoch_chunk": 125}),
-    ("pointnet2_cls_msg", "pointnet2_cls_msg", "r3_pointnet2_cls_msg",
-     [30, 40, 40], {"epoch_chunk": 125}),
-    # bf16 validation (fresh; reference recipe, dtype flipped)
+    # bf16 validation (fresh; reference recipe, dtype flipped, f32 BN)
     ("pointnet2_cls_ssg_bf16", "pointnet2_cls_ssg", "r5_pn2_ssg_bf16",
      [40, 40, 40], {"dtype": "bfloat16"}),
     ("translation_msg_bf16", "translation_msg", "r5_translation_msg_bf16",
@@ -68,6 +67,12 @@ JOBS = [
     # plateau confirmation / remaining depth
     ("rotation_msg", "rotation_msg", "r3_rotation_msg",
      [70, 80, 80], {"epoch_chunk": 125}),
+    ("sign_msg", "sign_msg", "r3_sign_msg",
+     [60, 70, 80], {"epoch_chunk": 125}),
+    ("pointnet2_cls_msg", "pointnet2_cls_msg", "r3_pointnet2_cls_msg",
+     [40, 40, 40], {"epoch_chunk": 125}),
+    ("translation_ssg", "translation_ssg", "r3_translation_ssg",
+     [100, 100, 100], {}),
 ]
 
 results = {}
