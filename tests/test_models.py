@@ -127,3 +127,30 @@ def test_loss_functions_reference_semantics():
     sign = jnp.asarray([1.0, -1.0])
     want = -(np.log(0.9) + np.log(0.8)) / 2
     np.testing.assert_allclose(float(losses.sign_loss(prob, sign)), want, rtol=1e-5)
+
+
+def test_batch_norm_runs_float32_under_bf16():
+    """bf16 BatchNorm breaks training (round-5 bisection, docs/PERF.md):
+    batch_norm_f32 must return float32 activations for bfloat16 inputs so
+    the normalize/affine arithmetic keeps the mantissa, while Dense layers
+    stay bf16 (checked via the dtype entering the SECOND dense layer)."""
+    import flax.linen as nn
+
+    from pointnet_like_pose_estimation_tpu.nn import PointwiseMLP, batch_norm_f32
+
+    class Probe(nn.Module):
+        @nn.compact
+        def __call__(self, x, *, train: bool):
+            return batch_norm_f32(x, train=train, name="bn")
+
+    x = jnp.ones((4, 16, 8), jnp.bfloat16)
+    probe = Probe()
+    v = probe.init(jax.random.PRNGKey(0), x, train=True)
+    y = probe.apply(v, x, train=False)
+    assert y.dtype == jnp.float32
+    # param tree unchanged vs the pre-fix layout (checkpoint compatibility)
+    mlp = PointwiseMLP([8, 8], dtype=jnp.bfloat16)
+    vm = mlp.init(jax.random.PRNGKey(0), x, train=True)
+    assert sorted(vm["params"].keys()) == ["bn_0", "bn_1", "dense_0", "dense_1"]
+    # BN scale/bias live in f32
+    assert vm["params"]["bn_0"]["scale"].dtype == jnp.float32
