@@ -296,6 +296,32 @@ def train(
 
     higher = _HIGHER_IS_BETTER[spec.task]
     history = []
+
+    def _persist_history():
+        # DURABLE curves (VERDICT r4 #6): merge with any prior run's rows
+        # instead of overwriting, keyed by epoch (latest run wins on
+        # collisions), so resumes/re-runs never lose a curve — the
+        # reference keeps full per-experiment logs
+        # (train_classification.py:178-186); so do we. Called every epoch
+        # (not just on exit): a SIGKILL or container reset mid-run must not
+        # lose the rows already trained (the round-5 reset did exactly that
+        # to curves held only in memory / untracked .log files).
+        if not history or jax.process_index() != 0:
+            return
+        hist_path = os.path.join(os.path.dirname(ckpt), "history.json")
+        rows: dict[int, dict] = {}
+        if os.path.exists(hist_path):
+            try:
+                with open(hist_path) as f:
+                    rows = {r["epoch"]: r for r in json.load(f)}
+            except (ValueError, KeyError, TypeError):
+                rows = {}
+        rows.update({r["epoch"]: r for r in history})
+        tmp = hist_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump([rows[e] for e in sorted(rows)], f, indent=2)
+        os.replace(tmp, hist_path)
+
     rng = np.random.default_rng(cfg.seed)
     guard = PreemptionGuard()
     guard.__enter__()
@@ -350,6 +376,7 @@ def train(
             ):
                 save_checkpoint(latest, state, epoch, row.get("train_loss", 0.0))
             history.append(row)
+            _persist_history()
             log.info("%s", row)
             if guard.preempted:
                 log.warning("preempted after epoch %d; exiting cleanly", epoch)
@@ -358,21 +385,5 @@ def train(
         guard.__exit__()
         log.removeHandler(fh)
         fh.close()
-        if history and jax.process_index() == 0:  # machine-readable curves
-            # DURABLE curves (VERDICT r4 #6): merge with any prior run's
-            # rows instead of overwriting, keyed by epoch (latest run wins
-            # on collisions), so resumes/re-runs never lose a curve — the
-            # reference keeps full per-experiment logs
-            # (train_classification.py:178-186); so do we.
-            hist_path = os.path.join(os.path.dirname(ckpt), "history.json")
-            rows: dict[int, dict] = {}
-            if os.path.exists(hist_path):
-                try:
-                    with open(hist_path) as f:
-                        rows = {r["epoch"]: r for r in json.load(f)}
-                except (ValueError, KeyError, TypeError):
-                    rows = {}
-            rows.update({r["epoch"]: r for r in history})
-            with open(hist_path, "w") as f:
-                json.dump([rows[e] for e in sorted(rows)], f, indent=2)
+        _persist_history()  # idempotent; covers the no-epochs-ran edge
     return state, history

@@ -32,15 +32,22 @@ EXPS = [
     ("rotation_msg", "pose/r3_rotation_msg", "test_mean_err", False, "deg"),
     ("sign", "pose/r3_sign", "test_metric", True, "acc"),
     ("sign_ssg", "pose/r3_sign_ssg", "test_metric", True, "acc"),
-    ("sign_msg", "pose/r3_sign_msg", "test_metric", True, "acc"),
+    ("sign_msg", "pose/r5_sign_msg", "test_metric", True, "acc"),
     ("translation", "pose/r3_translation_ref", "test_mean_err", False, "cm"),
-    ("translation_ssg", "pose/r3_translation_ssg", "test_mean_err", False, "cm"),
+    # r5_*: post-reset reruns — the container recycle wiped the uncommitted
+    # r3 experiment dirs, so round 5 retrains these from scratch
+    ("translation_ssg", "pose/r5_translation_ssg", "test_mean_err", False, "cm"),
     ("translation_msg", "pose/r3_translation_msg", "test_mean_err", False, "cm"),
     ("width", "pose/r3_width_ref", "test_mean_err", False, "m"),
     ("pose", "pose/r3_pose", "test_mean_err", False, "deg"),
     ("pose_transform", "pose/r4_pose_transform", "test_mean_err", False, "deg"),
     ("pose_feat_trans", "pose/r4_pose_feat_trans", "test_mean_err", False, "deg"),
     ("pose_mean", "pose/r4_pose_mean", "test_mean_err", False, "cm"),
+    # bf16 end-to-end validation runs (VERDICT r4 #2)
+    ("pointnet2_cls_ssg_bf16", "classification/r5_pn2_ssg_bf16",
+     "test_instance_acc", True, "acc"),
+    ("translation_msg_bf16", "pose/r5_translation_msg_bf16",
+     "test_mean_err", False, "cm"),
 ]
 
 
@@ -120,7 +127,7 @@ def _results_epochs():
     the full training record."""
     out = {}
     for p in ("log/round2_results.json", "log/round3_results.json",
-              "log/round4_results.json"):
+              "log/round4_results.json", "log/round5_results.json"):
         if not os.path.exists(p):
             continue
         for m, rec in json.load(open(p)).items():
