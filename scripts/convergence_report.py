@@ -148,6 +148,12 @@ def main():
         "training, scaled per 10 epochs; relative % is against the tail mean.",
         "A 'climbing' verdict marks a floor, not a result.",
         "",
+        "NOTE (round 5): a mid-round container reset destroyed every",
+        "training curve not committed to git (docs/ROUND5.md, incident",
+        "section) — 'curve lost' rows carry their committed best from the",
+        "round results files; curves and results are git-tracked since, so",
+        "this is not recoverable history but can no longer recur.",
+        "",
         "| Model | Epochs | Best @ | Best | Last | Tail Δ/10ep | Verdict |",
         "|---|---|---|---|---|---|---|",
     ]
@@ -164,7 +170,19 @@ def main():
             continue
         a = analyze(hist, key, higher)
         if a is None:
-            lines.append(f"| `{model}` | — | — | — | — | — | short curve |")
+            lines.append(
+                f"| `{model}` | {rec_e or '—'} | {rec_be if rec_be is not None else '—'} "
+                f"| — | — | — | curve lost (result: round results files) |")
+            continue
+        # a curve with interior holes (early rows lost to a hard kill before
+        # per-epoch persistence landed) must not pass as the full record:
+        # its curve-derived best can understate the checkpointed best
+        n_rows = sum(1 for r in hist if key in r)
+        if n_rows < 0.8 * a["epochs_done"]:
+            lines.append(
+                f"| `{model}` | {a['epochs_done']} | {rec_be if rec_be is not None else '—'} "
+                f"| — | — | — | curve has gaps ({n_rows}/{a['epochs_done']} epochs survive; "
+                f"best from checkpoint meta / round results files) |")
             continue
         if rec_e > a["epochs_done"] + 2:
             # the surviving curve is a SHORTER rerun (round-2 curves lost);
