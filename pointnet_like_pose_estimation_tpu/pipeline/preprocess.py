@@ -138,9 +138,34 @@ def clean_masks_async(
     )
 
 
+# Above this raw size the STAGED path wins: the fused program's outlier
+# stage must count neighbors over the full padded cloud (static shapes),
+# while staging shrinks the array on host after plane removal — measured
+# crossover on v5e: fused 33 vs staged 90 ms at 18k points, but 270 vs
+# 156 ms at 298k (log/e2e_latency.json frame300k, round 5).
+_FUSED_CLEAN_MAX_POINTS = 65536
+
+
 def clean_scene(points: np.ndarray, **kw) -> np.ndarray:
-    """Fused remove_plane + remove_radius_outlier (collect.py:6-28,92-102) in
-    a single device dispatch; identical output to the staged calls."""
+    """remove_plane + remove_radius_outlier (collect.py:6-28,92-102).
+
+    Small scenes: one fused device dispatch (dispatch overhead dominates).
+    Large scenes: staged with a host shrink between the stages (compute on
+    the post-plane remainder dominates). Outputs are identical either way.
+    """
+    if len(points) > _FUSED_CLEAN_MAX_POINTS:
+        num_iterations = kw.pop("num_iterations", 1000)
+        pts = remove_plane(
+            points,
+            distance_threshold=kw.pop("plane_threshold", 0.006),
+            num_iterations=num_iterations,
+            seed=kw.pop("seed", 0),
+        )
+        return remove_radius_outlier(
+            pts,
+            nb_points=kw.pop("radius_nb_points", 200),
+            radius=kw.pop("radius", 0.05),
+        )
     mask = np.asarray(clean_masks_async(points, **kw))
     return points[mask[: len(points)]]
 
